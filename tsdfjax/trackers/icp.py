@@ -1,0 +1,189 @@
+"""Frame-to-model point-to-plane ICP, fully on-device.
+
+TPU-native redesign of the reference ICP stack (SURVEY.md §2.4/§2.5):
+  - projective data association + point-to-plane rows + 27-term
+    Gauss-Newton reduction: CalPointToPlaneErrSolverParams.cu:7-129
+  - coarse-to-fine schedule {10,5,4}, Euler-XYZ delta, shake/singularity
+    rejection: CameraPoseFinderICP.cpp:12-145
+
+Key structural difference from the reference: the CUDA version syncs the
+27 reduced floats to the host and solves the 6x6 system with Eigen EVERY
+iteration (CameraPoseFinderICP.cpp:117,143 — ~19 device->host round
+trips per frame). Here the whole multi-level GN loop lives inside one
+jit: the reduction is an einsum (a (HW,7)^T (HW,7) matmul that XLA maps
+straight onto the MXU), and the 6x6 solve runs on-device. Zero host
+syncs. Under multi-host sharding the einsum result is psum'd over the
+mesh (see tsdfjax.parallel) — the Schur-style reduction of BASELINE.md.
+
+The Jacobian row per valid pixel is [q x n | n | n.(p - q)] with
+q = current-estimate world-space source vertex, p/n = model vertex/
+normal looked up by projecting q into the previous frame's camera.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tsdfjax.config import IcpConfig
+from tsdfjax.geometry import (
+    CameraIntrinsics,
+    delta_pose_from_6dof,
+    se3_inverse,
+    transform_points,
+    rotate_vectors,
+)
+
+Array = jnp.ndarray
+
+
+class IcpResult(NamedTuple):
+    pose: Array  # (4,4) tracked camera-to-world pose
+    ok: Array  # () bool — False on shake / singular-system rejection
+    residual: Array  # () f32 — mean |point-to-plane error| of last level
+    num_corr: Array  # () i32 — correspondences at the last iteration
+
+
+def icp_rows(
+    new_v: Array,
+    new_n: Array,
+    model_v: Array,
+    model_n: Array,
+    cam: CameraIntrinsics,
+    cur_transform: Array,
+    last_transform_inv: Array,
+    dist_thresh: float,
+    norm_sin_thresh: float,
+) -> Array:
+    """Per-pixel 7-vector rows (zeros for rejected pixels): (H, W, 7).
+
+    Association gates per findCorrs (CalPointToPlaneErrSolverParams.cu:
+    17-60): invalid input normal; projection outside the image; invalid
+    model normal at the looked-up pixel; ||p - q|| > dist_thresh;
+    ||n_t x n_i|| > norm_sin_thresh.
+    """
+    h, w = new_v.shape[:2]
+    v_g = transform_points(cur_transform, new_v)  # source vertex, world
+    n_g = rotate_vectors(cur_transform, new_n)
+    v_cp = transform_points(last_transform_inv, v_g)  # in last camera
+
+    z = v_cp[..., 2]
+    zsafe = jnp.where(z != 0, z, 1e-30)
+    u = jnp.floor(v_cp[..., 0] * cam.fx / zsafe + cam.cx + 0.5).astype(jnp.int32)
+    vv = jnp.floor(v_cp[..., 1] * cam.fy / zsafe + cam.cy + 0.5).astype(jnp.int32)
+    in_img = (u >= 0) & (u < w) & (vv >= 0) & (vv < h)
+
+    flat = jnp.clip(vv, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
+    p = model_v.reshape(-1, 3)[flat]  # target vertex, world
+    n_t = model_n.reshape(-1, 3)[flat]  # target normal, world
+
+    input_valid = jnp.any(new_n != 0.0, axis=-1)
+    target_valid = jnp.any(n_t != 0.0, axis=-1)
+    delta = p - v_g
+    dist = jnp.linalg.norm(delta, axis=-1)
+    sin = jnp.linalg.norm(jnp.cross(n_t, n_g), axis=-1)
+    valid = (
+        input_valid
+        & in_img
+        & target_valid
+        & (dist <= dist_thresh)
+        & (sin <= norm_sin_thresh)
+    )
+
+    qxn = jnp.cross(v_g, n_t)
+    rhs = jnp.sum(n_t * delta, axis=-1, keepdims=True)
+    rows = jnp.concatenate([qxn, n_t, rhs], axis=-1)  # (H, W, 7)
+    return jnp.where(valid[..., None], rows, 0.0), valid
+
+
+def normal_equations(rows: Array) -> Array:
+    """(H, W, 7) rows -> (7, 7) sum of outer products. This is the
+    two-stage CUDA reduction (computeGbufKernel + reduceGbufKernel)
+    collapsed into one MXU matmul; under shard_map the caller psums it."""
+    r = rows.reshape(-1, 7)
+    # precision=HIGHEST: the MXU's default bf16 passes are not enough for
+    # accumulating ~300k Jacobian outer products into a 6x6 system
+    return jnp.dot(
+        r.T, r, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def solve_gn_step(a7: Array, shake_angle: float, shake_dist: float):
+    """27-parameter system -> (delta pose, step_ok, x).
+
+    Mirrors minimizePointToPlaneErrFunc + vector6ToTransformMatrix
+    (CameraPoseFinderICP.cpp:95-145): reject det(ATA) < 1e-10, solve by
+    Cholesky, reject |angle| / ||t|| above the shake thresholds.
+    """
+    ata = a7[:6, :6]
+    atb = a7[:6, 6]
+    det = jnp.linalg.det(ata)
+    solvable = det >= 1e-10
+    ata_safe = jnp.where(solvable, ata, jnp.eye(6, dtype=jnp.float32))
+    # LLT like the reference; cho_solve is fine for SPD 6x6
+    factor = jax.scipy.linalg.cho_factor(ata_safe)
+    x = jax.scipy.linalg.cho_solve(factor, atb)
+    delta, angle, dist = delta_pose_from_6dof(x)
+    ok = solvable & (angle <= shake_angle) & (dist <= shake_dist) & jnp.all(jnp.isfinite(x))
+    return delta, ok, x
+
+
+def icp_track(
+    new_v_pyr: list[Array],
+    new_n_pyr: list[Array],
+    model_v_pyr: list[Array],
+    model_n_pyr: list[Array],
+    pose: Array,
+    cam: CameraIntrinsics,
+    cfg: IcpConfig,
+    reduce_fn=None,
+) -> IcpResult:
+    """Multi-level GN: coarse -> fine with the reference's iteration
+    table (10/5/4). `reduce_fn` optionally wraps the (7,7) normal-matrix
+    reduction (identity on one device; lax.psum over the mesh axis when
+    sharded).
+
+    The model maps are WORLD-space maps raycast from `pose` (the previous
+    frame's camera), so last_transform_inv = pose^-1 — exactly the
+    reference's estimateCameraPose setup (CameraPoseFinderICP.cpp:62-63).
+    """
+    if reduce_fn is None:
+        reduce_fn = lambda a: a
+
+    last_transform_inv = se3_inverse(pose)
+    iters = cfg.iters_per_level
+
+    cur = pose
+    ok = jnp.array(True)
+    residual = jnp.array(0.0, jnp.float32)
+    num_corr = jnp.array(0, jnp.int32)
+
+    for level in range(cfg.pyramid_levels - 1, -1, -1):
+        cam_l = cam.level(level)
+        nv, nn = new_v_pyr[level], new_n_pyr[level]
+        mv, mn = model_v_pyr[level], model_n_pyr[level]
+
+        def body(_, carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_l=cam_l):
+            cur, ok, residual, num_corr = carry
+            rows, valid = icp_rows(
+                nv, nn, mv, mn, cam_l, cur, last_transform_inv,
+                cfg.dist_thresh_m, cfg.normal_sin_thresh,
+            )
+            a7 = reduce_fn(normal_equations(rows))
+            delta, step_ok, _ = solve_gn_step(a7, cfg.angle_shake_rad, cfg.dist_shake_m)
+            apply = ok & step_ok
+            cur = jnp.where(apply, delta @ cur, cur)
+            ok = ok & step_ok
+            n_val = reduce_fn(jnp.sum(valid.astype(jnp.int32)))
+            res = reduce_fn(jnp.sum(jnp.abs(rows[..., 6]))) / jnp.maximum(
+                n_val.astype(jnp.float32), 1.0
+            )
+            return cur, ok, res, n_val
+
+        cur, ok, residual, num_corr = jax.lax.fori_loop(
+            0, iters[level], body, (cur, ok, residual, num_corr)
+        )
+
+    return IcpResult(pose=cur, ok=ok, residual=residual, num_corr=num_corr)

@@ -1,0 +1,177 @@
+"""Direct SDF camera tracking (Bylow-style), fully on-device.
+
+TPU-native redesign of the reference SDF tracker (SURVEY.md §2.4/§2.5):
+  - 13-sample numeric gradient of the trilinear TSDF per pixel
+    (center + 6 linearized-rotation-perturbed + 6 translation-perturbed
+    poses) and the same 27-term Gauss-Newton reduction as ICP:
+    CalSDFErrSolverParams.cu:7-138
+  - GN loop with shake rejection, ||x|| < eps convergence, and the
+    inverse-composed SE(3) exponential-map update
+    R' = exp(w)^T R, t' = t - exp(w)^T t_exp:
+    CameraPoseFinderSDF.cpp:44-106
+
+Like the ICP tracker, the whole loop runs inside one jit — the reference
+pays a device->host sync + Eigen solve per iteration; we don't. A pixel
+contributes only if ALL 13 trilinear samples are valid (in-border and all
+8 corners observed), matching buildSDFSolverRows' all-or-nothing `ret`.
+
+The rotation perturbations are the reference's LINEARIZED deltas
+(I + h*G_axis), not exact rotations (CalSDFErrSolverParams.cu:123-133);
+we reproduce that exactly so the numeric gradient matches.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tsdfjax.config import SdfTrackerConfig, VolumeConfig
+from tsdfjax.geometry import (
+    CameraIntrinsics,
+    delta_pose_from_6dof,
+    exp_se3,
+    se3_from_rt,
+    transform_points,
+)
+from tsdfjax.volume import TsdfVolume, sample_tsdf_trilinear
+
+Array = jnp.ndarray
+
+
+class SdfResult(NamedTuple):
+    pose: Array
+    ok: Array
+    residual: Array  # mean |sdf| over contributing pixels, last iteration
+    num_valid: Array
+
+
+def _linearized_rotation_deltas(w_h: float) -> Array:
+    """The six I + h*G perturbation matrices (+x,-x,+y,-y,+z,-z), 4x4,
+    matching cudaCalSDFSolverParams' host-built deltas (cu:123-133)."""
+    deltas = []
+    for axis in range(3):
+        for sign in (1.0, -1.0):
+            g = jnp.zeros((3, 3), jnp.float32)
+            i, j = [(1, 2), (0, 2), (0, 1)][axis]
+            s = [-1.0, 1.0, -1.0][axis]  # skew pattern: Rx: (1,2)=-h; Ry: (0,2)=+h; Rz: (0,1)=-h
+            g = g.at[i, j].set(s * sign * w_h)
+            g = g.at[j, i].set(-s * sign * w_h)
+            deltas.append(se3_from_rt(jnp.eye(3, dtype=jnp.float32) + g, jnp.zeros(3)))
+    return jnp.stack(deltas)  # (6, 4, 4)
+
+
+def sdf_rows(
+    volume: TsdfVolume,
+    trunced_depth: Array,
+    cam: CameraIntrinsics,
+    cur_transform: Array,
+    vol_cfg: VolumeConfig,
+    w_h: float,
+) -> tuple[Array, Array]:
+    """Per-pixel 7-vector [dψ/dω | dψ/dv | ψ] rows, zeros when invalid.
+    Returns (rows (H,W,7), valid (H,W))."""
+    v_h = vol_cfg.voxel_size_m
+    from tsdfjax.frames import depth_to_vertices
+
+    pts = depth_to_vertices(trunced_depth, cam)  # camera-space
+    px_valid = trunced_depth > 0
+
+    world0 = transform_points(cur_transform, pts)
+    sdf0, ok0 = sample_tsdf_trilinear(volume, world0, vol_cfg)
+    valid = px_valid & ok0
+
+    rot_deltas = _linearized_rotation_deltas(w_h)  # (6,4,4)
+    rot_sdfs = []
+    for k in range(6):
+        t_k = rot_deltas[k] @ cur_transform
+        wpos = transform_points(t_k, pts)
+        s, ok = sample_tsdf_trilinear(volume, wpos, vol_cfg)
+        rot_sdfs.append(s)
+        valid = valid & ok
+
+    trans_sdfs = []
+    for axis in range(3):
+        for sign in (1.0, -1.0):
+            offset = jnp.zeros(3, jnp.float32).at[axis].set(sign * v_h)
+            s, ok = sample_tsdf_trilinear(volume, world0 + offset, vol_cfg)
+            trans_sdfs.append(s)
+            valid = valid & ok
+
+    rows = jnp.stack(
+        [
+            (rot_sdfs[0] - rot_sdfs[1]) / (2.0 * w_h),
+            (rot_sdfs[2] - rot_sdfs[3]) / (2.0 * w_h),
+            (rot_sdfs[4] - rot_sdfs[5]) / (2.0 * w_h),
+            (trans_sdfs[0] - trans_sdfs[1]) / (2.0 * v_h),
+            (trans_sdfs[2] - trans_sdfs[3]) / (2.0 * v_h),
+            (trans_sdfs[4] - trans_sdfs[5]) / (2.0 * v_h),
+            sdf0,
+        ],
+        axis=-1,
+    )
+    return jnp.where(valid[..., None], rows, 0.0), valid
+
+
+def sdf_track(
+    volume: TsdfVolume,
+    trunced_depth: Array,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    cfg: SdfTrackerConfig,
+    reduce_fn=None,
+) -> SdfResult:
+    """Gauss-Newton loop, max cfg.max_iters iterations inside jit."""
+    if reduce_fn is None:
+        reduce_fn = lambda a: a
+
+    def body(_, carry):
+        cur, ok, done, residual, n_val = carry
+        rows, valid = sdf_rows(volume, trunced_depth, cam, cur, vol_cfg, cfg.rotation_step_h)
+        r = rows.reshape(-1, 7)
+        a7 = reduce_fn(
+            jnp.dot(
+                r.T, r, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        a = a7[:6, :6]
+        b = a7[:6, 6]
+        # the reference LLT-solves unconditionally (CameraPoseFinderSDF.cpp:79);
+        # we additionally treat non-finite solutions as shake failure
+        factor = jax.scipy.linalg.cho_factor(a + jnp.eye(6, dtype=jnp.float32) * 1e-20)
+        x = jax.scipy.linalg.cho_solve(factor, b)
+        _, angle, dist = delta_pose_from_6dof(x)
+        finite = jnp.all(jnp.isfinite(x))
+        shake = (angle > cfg.angle_shake_rad) | (dist > cfg.dist_shake_m) | ~finite
+        active = ok & ~done
+        ok = ok & (~active | ~shake)
+        converged = jnp.linalg.norm(x) < cfg.convergence_eps
+        done = done | (active & converged)
+
+        # inverse-composed exp-map update (CameraPoseFinderSDF.cpp:91-100)
+        aff = exp_se3(x)
+        r_exp_t = aff[:3, :3].T
+        r_new = r_exp_t @ cur[:3, :3]
+        t_new = cur[:3, 3] - r_exp_t @ aff[:3, 3]
+        t_upd = se3_from_rt(r_new, t_new)
+        apply = active & ~shake & ~converged
+        cur = jnp.where(apply, t_upd, cur)
+
+        nv = reduce_fn(jnp.sum(valid.astype(jnp.int32)))
+        res = reduce_fn(jnp.sum(jnp.abs(rows[..., 6]))) / jnp.maximum(
+            nv.astype(jnp.float32), 1.0
+        )
+        return cur, ok, done, res, nv
+
+    init = (
+        pose,
+        jnp.array(True),
+        jnp.array(False),
+        jnp.array(0.0, jnp.float32),
+        jnp.array(0, jnp.int32),
+    )
+    cur, ok, _, residual, n_val = jax.lax.fori_loop(0, cfg.max_iters, body, init)
+    return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
