@@ -1,0 +1,127 @@
+"""Marching cubes + mesh post + IO tests on analytic SDFs (SURVEY.md §4.1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdfjax import mesh as M
+from tsdfjax.config import VolumeConfig
+from tsdfjax.volume import TsdfVolume
+
+VCFG = VolumeConfig(resolution=48, size_m=2.0, max_weight=128.0)
+
+
+def sphere_volume(center=(1.0, 1.0, 1.0), radius=0.5, trunc=0.1, cfg=VCFG):
+    r = cfg.resolution
+    ii = np.arange(r)
+    gx, gy, gz = np.meshgrid(ii, ii, ii, indexing="ij")
+    cell = cfg.voxel_size_m
+    px = (gx + 0.5) * cell
+    py = (gy + 0.5) * cell
+    pz = (gz + 0.5) * cell
+    d = np.sqrt(
+        (px - center[0]) ** 2 + (py - center[1]) ** 2 + (pz - center[2]) ** 2
+    ) - radius
+    tsdf = np.clip(d / trunc, -1, 1).astype(np.float32)
+    return TsdfVolume(
+        tsdf=jnp.array(tsdf),
+        weight=jnp.ones((r, r, r), jnp.float32),
+        color=jnp.full((r, r, r, 3), 128.0, jnp.float32),
+    )
+
+
+class TestMarchingCubes:
+    def test_sphere_surface_accuracy(self):
+        vol = sphere_volume()
+        mesh = M.extract_mesh(vol, VCFG, max_triangles=100_000)
+        assert mesh.num_faces > 500
+        d = np.linalg.norm(mesh.vertices - np.array([1.0, 1.0, 1.0]), axis=1)
+        err = np.abs(d - 0.5)
+        assert np.median(err) < VCFG.voxel_size_m * 0.2
+        assert err.max() < VCFG.voxel_size_m
+
+    def test_sphere_watertight(self):
+        vol = sphere_volume()
+        mesh = M.extract_mesh(vol, VCFG, max_triangles=100_000)
+        f = mesh.faces
+        edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        edges = np.sort(edges, axis=1)
+        _, counts = np.unique(edges, axis=0, return_counts=True)
+        # closed 2-manifold: every edge shared by exactly 2 faces
+        assert (counts == 2).all(), np.bincount(counts)
+        v, e, fc = mesh.num_vertices, len(np.unique(edges, axis=0)), mesh.num_faces
+        assert v - e + fc == 2  # Euler characteristic of a sphere
+
+    def test_normals_point_outward(self):
+        vol = sphere_volume()
+        mesh = M.extract_mesh(vol, VCFG, max_triangles=100_000)
+        # face winding: triangle normal should align with radial direction
+        v = mesh.vertices
+        f = mesh.faces
+        fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        centroid = v[f].mean(axis=1) - np.array([1.0, 1.0, 1.0])
+        dots = (fn * centroid).sum(axis=1)
+        assert (dots > 0).mean() > 0.99
+        # vertex normals too
+        vn_dots = (mesh.normals * (v - np.array([1.0, 1.0, 1.0]))).sum(axis=1)
+        assert (vn_dots > 0).mean() > 0.99
+
+    def test_unobserved_cells_skipped(self):
+        vol = sphere_volume()
+        vol = vol._replace(weight=jnp.zeros_like(vol.weight))
+        buffers = M.marching_cubes(vol, VCFG, max_triangles=1000)
+        assert int(buffers.count) == 0
+
+    def test_overflow_capped(self):
+        vol = sphere_volume()
+        buffers = M.marching_cubes(vol, VCFG, max_triangles=100)
+        assert int(buffers.count) == 100
+        assert int(buffers.overflow) > 0
+
+    def test_color_interpolated(self):
+        vol = sphere_volume()
+        buffers = M.marching_cubes(vol, VCFG, max_triangles=100_000, with_color=True)
+        n = int(buffers.count)
+        cols = np.asarray(buffers.colors[:n])
+        np.testing.assert_allclose(cols, 128.0, atol=1e-3)
+
+
+class TestMeshOps:
+    def test_weld_merges_shared_vertices(self):
+        vol = sphere_volume()
+        buffers = M.marching_cubes(vol, VCFG, max_triangles=100_000)
+        n = int(buffers.count)
+        soup = np.asarray(buffers.vertices[:n]).reshape(-1, 3)
+        mesh = M.mesh_from_buffers(buffers)
+        # welding must reduce vertex count by ~6x (each vertex shared)
+        assert mesh.num_vertices < len(soup) / 3
+
+    def test_apply_transform(self):
+        m = M.Mesh(np.eye(3, dtype=np.float32), np.array([[0, 1, 2]]))
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = [1, 2, 3]
+        m2 = m.apply_transform(t)
+        np.testing.assert_allclose(m2.vertices[0], [2, 2, 3])
+
+
+class TestMeshIO:
+    @pytest.fixture
+    def mesh(self):
+        vol = sphere_volume(cfg=VolumeConfig(resolution=24, size_m=2.0, max_weight=1.0))
+        m = M.extract_mesh(
+            vol, VolumeConfig(resolution=24, size_m=2.0, max_weight=1.0),
+            max_triangles=20_000, with_color=True,
+        )
+        return m
+
+    @pytest.mark.parametrize("ext", ["obj", "ply", "off"])
+    def test_roundtrip(self, mesh, tmp_path, ext):
+        path = str(tmp_path / f"m.{ext}")
+        M.save_mesh(mesh, path)
+        back = M.load_mesh(path)
+        assert back.num_vertices == mesh.num_vertices
+        assert back.num_faces == mesh.num_faces
+        np.testing.assert_allclose(back.vertices, mesh.vertices, atol=1e-4)
+        np.testing.assert_array_equal(back.faces, mesh.faces)
+        if ext == "ply":
+            np.testing.assert_allclose(back.colors, mesh.colors, atol=1.0)

@@ -1,0 +1,152 @@
+"""Distributed tests without a pod (SURVEY.md §4.4): the sharded step on
+the 8-virtual-CPU-device mesh must match the dense single-device run."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsdfjax.config import (
+    AppConfig,
+    DepthPreprocessConfig,
+    IcpConfig,
+    IntegrateConfig,
+    SwitchConfig,
+    VolumeConfig,
+)
+from tsdfjax.geometry import CameraIntrinsics
+from tsdfjax.pipeline import FusionEngine
+from tsdfjax.parallel import ShardedFusion, make_space_mesh, required_halo
+from tsdfjax import synthetic as syn
+
+from test_pipeline import fly_through
+
+
+def par_config(**overrides) -> AppConfig:
+    cam = CameraIntrinsics(width=160, height=120, fx=150.0, fy=150.0, cx=79.5, cy=59.5)
+    base = dict(
+        depth_camera=cam,
+        rgb_camera=cam,
+        volume=VolumeConfig(resolution=64, size_m=2.0, max_weight=128.0),
+        integrate=IntegrateConfig(sdf_trunc_m=0.06, max_integrate_dist_m=2.5),
+        preprocess=DepthPreprocessConfig(
+            max_trunc_m=4.0, min_trunc_m=0.3, sigma_depth=0.02, sigma_pixel=1.0
+        ),
+        switches=SwitchConfig(use_color=False),
+    )
+    base.update(overrides)
+    return AppConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_space_mesh(8)
+
+
+def run_both(cfg, mode, mesh, n_frames=4, with_rgb=False):
+    scene = syn.default_scene(cfg.volume.size_m)
+    poses = fly_through(cfg, n_frames, arc=0.1)
+    dense = FusionEngine(cfg, mode=mode)
+    shard = ShardedFusion(cfg, mesh=mesh, mode=mode)
+    d_diags, s_diags = [], []
+    for pose in poses:
+        depth = syn.render_depth(pose, cfg.depth_camera, scene)
+        rgb = syn.render_rgb(pose, cfg.depth_camera, scene) if with_rgb else None
+        d_diags.append(dense.step(depth, rgb=rgb, ext_pose=pose))
+        s_diags.append(shard.step(depth, rgb=rgb, ext_pose=pose))
+    return dense, shard, d_diags, s_diags
+
+
+class TestShardedMatchesDense:
+    def test_file_mode_volume_and_maps(self, mesh8):
+        cfg = par_config()
+        dense, shard, dd, sd = run_both(cfg, "file", mesh8)
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.tsdf), np.asarray(dense.state.volume.tsdf),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.weight), np.asarray(dense.state.volume.weight),
+            atol=1e-5,
+        )
+        for d, s in zip(dd, sd):
+            assert int(d.integrated_voxels) == int(s.integrated_voxels)
+        mv_d = np.asarray(dense.state.model_vertices)
+        mv_s = np.asarray(shard.state.model_vertices)
+        # hit masks must agree and vertices match where hit
+        hit_d = np.any(mv_d != 0, axis=-1)
+        hit_s = np.any(mv_s != 0, axis=-1)
+        assert (hit_d == hit_s).mean() > 0.999
+        both = hit_d & hit_s
+        np.testing.assert_allclose(mv_s[both], mv_d[both], atol=1e-4)
+        nn_d = np.asarray(dense.state.model_normals)[both]
+        nn_s = np.asarray(shard.state.model_normals)[both]
+        np.testing.assert_allclose(nn_s, nn_d, atol=1e-3)
+
+    def test_icp_mode_poses_match(self, mesh8):
+        cfg = par_config(icp=IcpConfig(pyramid_levels=3))
+        dense, shard, dd, sd = run_both(cfg, "icp", mesh8, n_frames=4)
+        for k, (d, s) in enumerate(zip(dd, sd)):
+            assert bool(d.tracking_ok) and bool(s.tracking_ok), f"frame {k}"
+            pd, ps = np.asarray(d.pose), np.asarray(s.pose)
+            np.testing.assert_allclose(ps[:3, 3], pd[:3, 3], atol=2e-3)
+            np.testing.assert_allclose(ps[:3, :3], pd[:3, :3], atol=2e-3)
+
+    def test_sdf_mode_poses_match(self, mesh8):
+        cfg = par_config()
+        dense, shard, dd, sd = run_both(cfg, "sdf", mesh8, n_frames=4)
+        for k, (d, s) in enumerate(zip(dd, sd)):
+            assert bool(d.tracking_ok) and bool(s.tracking_ok), f"frame {k}"
+            pd, ps = np.asarray(d.pose), np.asarray(s.pose)
+            np.testing.assert_allclose(ps[:3, 3], pd[:3, 3], atol=2e-3)
+
+    def test_color_fusion_matches(self, mesh8):
+        cfg = par_config(switches=SwitchConfig(use_color=True))
+        dense, shard, dd, sd = run_both(cfg, "file", mesh8, n_frames=3, with_rgb=True)
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.color), np.asarray(dense.state.volume.color),
+            atol=1e-2,
+        )
+
+    def test_required_halo_covers_step(self):
+        cfg = par_config()
+        h = required_halo(cfg)
+        step_vox = cfg.raycast.ray_increment_m / cfg.volume.voxel_size_m
+        assert h >= step_vox + 3
+
+
+class TestHaloExchange:
+    def test_extended_slab_reconstructs_neighbors(self, mesh8):
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        from tsdfjax.parallel.sharded import _halo_exchange
+
+        full = jnp.arange(64 * 4 * 4, dtype=jnp.float32).reshape(64, 4, 4)
+        halo = 3
+
+        def body(local):
+            return _halo_exchange(local, halo)
+
+        ext = jax.jit(
+            shard_map(
+                body, mesh=make_space_mesh(8), in_specs=(P("space"),),
+                out_specs=P("space"),
+            )
+        )(full)
+        # shard i's extended block (with halo) sits at rows i*(8+2h)
+        ext = np.asarray(ext).reshape(8, 8 + 2 * halo, 4, 4)
+        fullnp = np.asarray(full)
+        for i in range(8):
+            lo = i * 8
+            want_core = fullnp[lo : lo + 8]
+            np.testing.assert_array_equal(ext[i, halo : halo + 8], want_core)
+            if i > 0:
+                np.testing.assert_array_equal(ext[i, :halo], fullnp[lo - halo : lo])
+            else:
+                np.testing.assert_array_equal(ext[i, :halo], 0.0)
+            if i < 7:
+                np.testing.assert_array_equal(ext[i, halo + 8 :], fullnp[lo + 8 : lo + 8 + halo])
+            else:
+                np.testing.assert_array_equal(ext[i, halo + 8 :], 0.0)

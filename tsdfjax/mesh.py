@@ -1,0 +1,482 @@
+"""Marching-cubes surface extraction + mesh post-processing + OBJ/PLY/OFF I/O.
+
+TPU-first redesign of the reference meshing stack (SURVEY.md §2.4/§2.6):
+
+  - extractIsoSurfaceKernel (marchingcube.cu:138-153) appends triangles
+    through a global atomicAdd counter; here the per-cell triangle counts
+    go through an exclusive cumsum and triangles scatter to their
+    computed offsets — deterministic, race-free, and jittable. A static
+    max-triangle budget (the reference also has one, config.ini:48)
+    bounds the output buffer; overflow triangles are dropped and counted.
+  - the cell grid is the voxel-center lattice: the reference samples 8
+    trilinear corners at cell-center +- half cell (marchingcube.cu:44-75),
+    which is exactly the voxel-center values; cells with any unobserved
+    (weight==0) corner or any |corner tsdf| > threshold are skipped
+    (cu:101-108 — threshold 300*voxel_size via
+    MeshGeneratorMarchingcube.cpp:26-27, inert at default configs).
+  - vertex positions by linear interpolation to the zero crossing with
+    the reference's 1e-5 degenerate guards (vertexInterp, cu:16-41);
+    colors interpolated the same way.
+  - host-side post: vertex welding on a quantized grid (the reference's
+    mergeCloseVertices spatial hash, meshData.cpp:198-260), duplicate
+    face removal, area-weighted vertex normals (meshData.h:713-736), and
+    OBJ/PLY/OFF writers (MeshIO.cpp dispatch-on-extension semantics).
+
+The extraction is chunked over x-slabs with lax.map so the peak
+footprint stays ~slab-sized even at 512^3.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsdfjax.config import VolumeConfig
+from tsdfjax.mc_tables import EDGE_CORNERS, MAX_TRIS_PER_CELL, TRI_COUNT, TRI_TABLE
+from tsdfjax.volume import TsdfVolume
+
+Array = jnp.ndarray
+
+# cube corner offsets in (x, y, z), matching mc_tables.CORNER_POS
+_CORNER_OFFSETS = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    dtype=np.int32,
+)
+
+
+class MeshBuffers(NamedTuple):
+    """Raw triangle soup from extraction (device arrays)."""
+
+    vertices: Array  # (max_tris, 3, 3) f32 world coords
+    colors: Array  # (max_tris, 3, 3) f32 0..255
+    count: Array  # () i32 — triangles actually written
+    overflow: Array  # () i32 — triangles dropped at capacity
+
+
+def _pick_slab(n_cells: int, target: int = 8) -> int:
+    """Largest divisor of n_cells that is <= target (res-1 is usually odd)."""
+    for s in range(min(target, n_cells), 0, -1):
+        if n_cells % s == 0:
+            return s
+    return 1
+
+
+@partial(jax.jit, static_argnames=("vol_cfg", "max_triangles", "with_color", "slab"))
+def marching_cubes(
+    volume: TsdfVolume,
+    vol_cfg: VolumeConfig,
+    max_triangles: int = 1_500_000,
+    iso_threshold: float | None = None,
+    with_color: bool = False,
+    slab: int | None = None,
+) -> MeshBuffers:
+    """Extract the zero isosurface as a triangle soup."""
+    res = vol_cfg.resolution
+    cell = vol_cfg.voxel_size_m
+    n_cells = res - 1
+    if iso_threshold is None:
+        iso_threshold = 300.0 * cell  # MeshGeneratorMarchingcube.cpp:26-27
+    if slab is None:
+        slab = _pick_slab(n_cells)
+    assert n_cells % slab == 0, "slab must divide res-1"
+    n_slabs = n_cells // slab
+
+    tri_table = jnp.asarray(TRI_TABLE)
+    tri_count = jnp.asarray(TRI_COUNT)
+    edge_corners = jnp.asarray(EDGE_CORNERS)
+    corner_off = jnp.asarray(_CORNER_OFFSETS)
+
+    tsdf = volume.tsdf
+    weight = volume.weight
+    color = volume.color
+
+    def slab_tris(x_start):
+        """Per-slab: (slab*(res-1)^2 * MAX_TRIS,) candidate triangles with
+        validity + per-candidate index, then local compaction offsets."""
+        # corner fields for cells with x in [x_start, x_start+slab)
+        xs = x_start
+        t_slab = jax.lax.dynamic_slice_in_dim(tsdf, xs, slab + 1, 0)
+        w_slab = jax.lax.dynamic_slice_in_dim(weight, xs, slab + 1, 0)
+        shape = (slab, n_cells, n_cells)
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+
+        corner_t = []
+        corner_w = []
+        for k in range(8):
+            dx, dy, dz = _CORNER_OFFSETS[k]
+            corner_t.append(t_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells])
+            corner_w.append(w_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells])
+        ct = jnp.stack(corner_t, axis=-1)  # (slab, n, n, 8)
+        cw = jnp.stack(corner_w, axis=-1)
+
+        observed = jnp.all(cw > 0, axis=-1)
+        in_range = jnp.all(jnp.abs(ct) <= iso_threshold, axis=-1)
+        inside = (ct < 0).astype(jnp.int32)
+        case = jnp.sum(inside << jnp.arange(8, dtype=jnp.int32), axis=-1)
+        case = jnp.where(observed & in_range, case, 0)
+        ntri = tri_count[case]  # (slab, n, n)
+
+        # world positions of the 8 corners (voxel centers)
+        cx = (ix + xs).astype(jnp.float32)
+        base = jnp.stack([cx, iy.astype(jnp.float32), iz.astype(jnp.float32)], axis=-1)
+        cpos = (base[..., None, :] + corner_off.astype(jnp.float32) + 0.5) * cell
+        # (slab, n, n, 12, 3) edge vertices
+        a_idx = edge_corners[:, 0]
+        b_idx = edge_corners[:, 1]
+        va = jnp.take(ct, a_idx, axis=-1)
+        vb = jnp.take(ct, b_idx, axis=-1)
+        pa = jnp.take(cpos, a_idx, axis=-2)
+        pb = jnp.take(cpos, b_idx, axis=-2)
+        denom = vb - va
+        # vertexInterp degenerate guards (marchingcube.cu:16-41)
+        mu = jnp.where(jnp.abs(denom) < 1e-30, 0.5, (0.0 - va) / jnp.where(denom == 0, 1.0, denom))
+        mu = jnp.where(jnp.abs(va) < 1e-5, 0.0, jnp.where(jnp.abs(vb) < 1e-5, 1.0, mu))
+        everts = pa + mu[..., None] * (pb - pa)  # (slab, n, n, 12, 3)
+
+        if with_color:
+            c_slab = jax.lax.dynamic_slice_in_dim(color, xs, slab + 1, 0)
+            cc = jnp.stack(
+                [
+                    c_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells]
+                    for (dx, dy, dz) in _CORNER_OFFSETS
+                ],
+                axis=-2,
+            )  # (slab, n, n, 8, 3)
+            ca = jnp.take(cc, a_idx, axis=-2)
+            cb = jnp.take(cc, b_idx, axis=-2)
+            ecolors = ca + mu[..., None] * (cb - ca)
+        else:
+            ecolors = jnp.zeros_like(everts)
+
+        # candidate triangles: (cells, MAX_TRIS, 3) edge ids from the table
+        tt = tri_table[case]  # (slab, n, n, MAX*3)
+        tt = tt.reshape(*shape, MAX_TRIS_PER_CELL, 3)
+        valid_tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (*shape, MAX_TRIS_PER_CELL), 3)
+            < ntri[..., None]
+        )
+        safe_tt = jnp.maximum(tt, 0)
+        # gather the 3 edge-vertices of each candidate triangle:
+        # everts (..., 12, 3) indexed by safe_tt (..., MAX, 3)
+        tv = jnp.take_along_axis(
+            jnp.broadcast_to(
+                everts[..., None, :, :], (*shape, MAX_TRIS_PER_CELL, 12, 3)
+            ),
+            jnp.broadcast_to(safe_tt[..., :, None], (*shape, MAX_TRIS_PER_CELL, 3, 1)).astype(jnp.int32),
+            axis=-2,
+        )
+        tc = jnp.take_along_axis(
+            jnp.broadcast_to(
+                ecolors[..., None, :, :], (*shape, MAX_TRIS_PER_CELL, 12, 3)
+            ),
+            jnp.broadcast_to(safe_tt[..., :, None], (*shape, MAX_TRIS_PER_CELL, 3, 1)).astype(jnp.int32),
+            axis=-2,
+        )
+        flat_valid = valid_tri.reshape(-1)
+        flat_tv = tv.reshape(-1, 3, 3)
+        flat_tc = tc.reshape(-1, 3, 3)
+        return flat_valid, flat_tv, flat_tc
+
+    out_v = jnp.zeros((max_triangles, 3, 3), jnp.float32)
+    out_c = jnp.zeros((max_triangles, 3, 3), jnp.float32)
+
+    def scan_body(carry, x_start):
+        out_v, out_c, total = carry
+        flat_valid, flat_tv, flat_tc = slab_tris(x_start)
+        # exclusive cumsum -> local offsets; global offset = running total
+        local_off = jnp.cumsum(flat_valid.astype(jnp.int32)) - flat_valid.astype(jnp.int32)
+        dest = total + local_off
+        dest = jnp.where(flat_valid & (dest < max_triangles), dest, max_triangles)
+        # scatter with drop-at-capacity (mode='drop' for index==max)
+        out_v = out_v.at[dest].set(flat_tv, mode="drop")
+        out_c = out_c.at[dest].set(flat_tc, mode="drop")
+        total = total + jnp.sum(flat_valid.astype(jnp.int32))
+        return (out_v, out_c, total), None
+
+    x_starts = jnp.arange(n_slabs, dtype=jnp.int32) * slab
+    (out_v, out_c, total), _ = jax.lax.scan(
+        scan_body, (out_v, out_c, jnp.array(0, jnp.int32)), x_starts
+    )
+
+    count = jnp.minimum(total, max_triangles)
+    return MeshBuffers(
+        vertices=out_v, colors=out_c, count=count,
+        overflow=jnp.maximum(total - max_triangles, 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side mesh container + post-processing (the ml::MeshData equivalents)
+# ---------------------------------------------------------------------------
+
+
+class Mesh:
+    """Indexed triangle mesh on host (numpy)."""
+
+    def __init__(self, vertices, faces, colors=None, normals=None):
+        self.vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        self.faces = np.asarray(faces, np.int64).reshape(-1, 3)
+        self.colors = None if colors is None else np.asarray(colors, np.float32).reshape(-1, 3)
+        self.normals = None if normals is None else np.asarray(normals, np.float32).reshape(-1, 3)
+
+    @property
+    def num_vertices(self):
+        return len(self.vertices)
+
+    @property
+    def num_faces(self):
+        return len(self.faces)
+
+    def apply_transform(self, t: np.ndarray) -> "Mesh":
+        """meshData.h:484 applyTransform equivalent."""
+        v = self.vertices @ t[:3, :3].T + t[:3, 3]
+        n = None
+        if self.normals is not None:
+            n = self.normals @ t[:3, :3].T
+        return Mesh(v, self.faces, self.colors, n)
+
+
+def mesh_from_buffers(buffers: MeshBuffers, merge_eps: float = 1e-4) -> Mesh:
+    """Triangle soup -> welded indexed mesh. Mirrors the reference's
+    saveMesh pipeline: index buffer + mergeCloseVertices(1e-4, approx) +
+    removeDuplicateFaces (MeshGeneratorMarchingcube.cpp:61-97)."""
+    n = int(buffers.count)
+    tv = np.asarray(buffers.vertices[:n]).reshape(-1, 3)
+    tc = np.asarray(buffers.colors[:n]).reshape(-1, 3)
+    return weld_mesh(tv, tc, merge_eps)
+
+
+def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None, merge_eps: float) -> Mesh:
+    """Quantized-grid vertex weld (the spatial-hash 'approx' mode of
+    meshData.cpp:198-260) + duplicate-face removal."""
+    if len(tri_vertices) == 0:
+        return Mesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
+    keys = np.round(tri_vertices / merge_eps).astype(np.int64)
+    uniq, first_idx, inverse = np.unique(
+        keys, axis=0, return_index=True, return_inverse=True
+    )
+    vertices = tri_vertices[first_idx]
+    colors = None if tri_colors is None else tri_colors[first_idx]
+    faces = inverse.reshape(-1, 3)
+    # drop degenerate faces (meshData removeDegeneratedFaces)
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[good]
+    # duplicate-face removal (meshData.cpp:42): same vertex set
+    if len(faces):
+        sorted_f = np.sort(faces, axis=1)
+        _, keep = np.unique(sorted_f, axis=0, return_index=True)
+        faces = faces[np.sort(keep)]
+    return Mesh(vertices, faces, colors)
+
+
+def compute_vertex_normals(mesh: Mesh) -> Mesh:
+    """Area-weighted vertex normals (meshData.h:713-736): accumulate the
+    unnormalized face cross products, then normalize."""
+    v = mesh.vertices
+    f = mesh.faces
+    if len(f) == 0:
+        mesh.normals = np.zeros_like(v)
+        return mesh
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    normals = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(normals, f[:, k], fn)
+    lens = np.linalg.norm(normals, axis=1, keepdims=True)
+    mesh.normals = normals / np.maximum(lens, 1e-30)
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# File I/O (MeshIO.h:27-99 dispatch-on-extension)
+# ---------------------------------------------------------------------------
+
+
+def save_mesh(mesh: Mesh, path: str) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        _save_obj(mesh, path)
+    elif ext == ".ply":
+        _save_ply(mesh, path)
+    elif ext == ".off":
+        _save_off(mesh, path)
+    else:
+        raise ValueError(f"unsupported mesh format {ext!r} (use .obj/.ply/.off)")
+
+
+def load_mesh(path: str) -> Mesh:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        return _load_obj(path)
+    if ext == ".ply":
+        return _load_ply(path)
+    if ext == ".off":
+        return _load_off(path)
+    raise ValueError(f"unsupported mesh format {ext!r}")
+
+
+def _save_obj(mesh: Mesh, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# tsdfjax mesh\n")
+        if mesh.colors is not None:
+            for p, c in zip(mesh.vertices, mesh.colors / 255.0):
+                f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n")
+        else:
+            for p in mesh.vertices:
+                f.write(f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        if mesh.normals is not None:
+            for n in mesh.normals:
+                f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+        for t in mesh.faces + 1:
+            if mesh.normals is not None:
+                f.write(f"f {t[0]}//{t[0]} {t[1]}//{t[1]} {t[2]}//{t[2]}\n")
+            else:
+                f.write(f"f {t[0]} {t[1]} {t[2]}\n")
+
+
+def _load_obj(path: str) -> Mesh:
+    verts, faces, colors = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+                if len(parts) >= 7:
+                    colors.append([float(x) * 255.0 for x in parts[4:7]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
+                faces.append(idx)
+    return Mesh(
+        np.array(verts, np.float32),
+        np.array(faces, np.int64) if faces else np.zeros((0, 3), np.int64),
+        np.array(colors, np.float32) if colors else None,
+    )
+
+
+def _save_ply(mesh: Mesh, path: str) -> None:
+    """Binary little-endian PLY with optional uchar colors."""
+    n_v, n_f = mesh.num_vertices, mesh.num_faces
+    has_c = mesh.colors is not None
+    has_n = mesh.normals is not None
+    with open(path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0", f"element vertex {n_v}",
+               "property float x", "property float y", "property float z"]
+        if has_n:
+            hdr += ["property float nx", "property float ny", "property float nz"]
+        if has_c:
+            hdr += ["property uchar red", "property uchar green", "property uchar blue"]
+        hdr += [f"element face {n_f}", "property list uchar int vertex_indices", "end_header"]
+        f.write(("\n".join(hdr) + "\n").encode())
+        cols = [mesh.vertices.astype("<f4")]
+        if has_n:
+            cols.append(mesh.normals.astype("<f4"))
+        rec = np.concatenate(cols, axis=1).astype("<f4").tobytes()
+        if has_c:
+            # interleave float block and color bytes per vertex
+            fbytes = np.concatenate(cols, axis=1).astype("<f4")
+            cbytes = np.clip(mesh.colors, 0, 255).astype(np.uint8)
+            stride_f = fbytes.shape[1] * 4
+            out = bytearray()
+            fb = fbytes.tobytes()
+            cb = cbytes.tobytes()
+            for i in range(n_v):
+                out += fb[i * stride_f : (i + 1) * stride_f]
+                out += cb[i * 3 : (i + 1) * 3]
+            f.write(bytes(out))
+        else:
+            f.write(rec)
+        face_rec = np.empty(n_f, dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        face_rec["n"] = 3
+        face_rec["idx"] = mesh.faces.astype("<i4")
+        f.write(face_rec.tobytes())
+
+
+def _load_ply(path: str) -> Mesh:
+    with open(path, "rb") as f:
+        # parse header
+        props = []
+        n_v = n_f = 0
+        fmt = None
+        cur_elem = None
+        while True:
+            line = f.readline().decode().strip()
+            if line.startswith("format"):
+                fmt = line.split()[1]
+            elif line.startswith("element vertex"):
+                n_v = int(line.split()[2]); cur_elem = "v"
+            elif line.startswith("element face"):
+                n_f = int(line.split()[2]); cur_elem = "f"
+            elif line.startswith("property") and cur_elem == "v":
+                parts = line.split()
+                props.append((parts[-1], parts[1]))
+            elif line == "end_header":
+                break
+        if fmt != "binary_little_endian":
+            raise ValueError("only binary_little_endian ply supported")
+        np_map = {"float": "<f4", "uchar": "u1", "double": "<f8", "int": "<i4"}
+        dtype = np.dtype([(name, np_map[t]) for name, t in props])
+        vdata = np.frombuffer(f.read(dtype.itemsize * n_v), dtype=dtype)
+        verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=1)
+        colors = None
+        if "red" in vdata.dtype.names:
+            colors = np.stack([vdata["red"], vdata["green"], vdata["blue"]], axis=1).astype(np.float32)
+        normals = None
+        if "nx" in vdata.dtype.names:
+            normals = np.stack([vdata["nx"], vdata["ny"], vdata["nz"]], axis=1)
+        fdt = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
+        fdata = np.frombuffer(f.read(fdt.itemsize * n_f), dtype=fdt)
+        return Mesh(verts, fdata["idx"], colors, normals)
+
+
+def _save_off(mesh: Mesh, path: str) -> None:
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{mesh.num_vertices} {mesh.num_faces} 0\n")
+        for p in mesh.vertices:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+        for t in mesh.faces:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def _load_off(path: str) -> Mesh:
+    with open(path) as f:
+        assert f.readline().strip() == "OFF"
+        n_v, n_f, _ = (int(x) for x in f.readline().split())
+        verts = [[float(x) for x in f.readline().split()[:3]] for _ in range(n_v)]
+        faces = [[int(x) for x in f.readline().split()[1:4]] for _ in range(n_f)]
+    return Mesh(np.array(verts, np.float32), np.array(faces, np.int64))
+
+
+def extract_mesh(
+    volume: TsdfVolume,
+    vol_cfg: VolumeConfig,
+    max_triangles: int = 1_500_000,
+    with_color: bool = False,
+    compute_normals: bool = True,
+) -> Mesh:
+    """One-call pipeline: marching cubes -> weld -> normals."""
+    buffers = marching_cubes(
+        volume, vol_cfg, max_triangles=max_triangles, with_color=with_color
+    )
+    mesh = mesh_from_buffers(buffers)
+    if not with_color:
+        mesh.colors = None
+    if compute_normals:
+        compute_vertex_normals(mesh)
+    return mesh

@@ -120,7 +120,11 @@ def _track(cfg: AppConfig, mode: str, state: FusionState, trunced, verts, normal
     raise ValueError(f"unknown tracker mode {mode!r}")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "with_color"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mode", "with_color"),
+    donate_argnames=("state",),
+)
 def process_frame(
     cfg: AppConfig,
     mode: str,
@@ -132,7 +136,12 @@ def process_frame(
 ) -> tuple[FusionState, FrameDiagnostics]:
     """One frame through the full pipeline. `rgb` is (H,W,3) float32
     0..255 (ignored when with_color=False); `ext_pose` is the externally
-    provided pose for mode='file' (ignored otherwise, pass anything)."""
+    provided pose for mode='file' (ignored otherwise, pass anything).
+
+    `state` is DONATED: the ~0.5 GB volume arrays update in place on
+    device (the moral equivalent of the reference's persistent
+    CudaDeviceDataMan buffers); callers must not reuse the passed state.
+    """
     pre = cfg.preprocess
     trunced, _filtered, verts, normals = F.preprocess_depth(
         depth_m, cfg.depth_camera, pre.min_trunc_m, pre.max_trunc_m,

@@ -49,6 +49,10 @@ class RaycastResult(NamedTuple):
     vertices: Array  # (H, W, 3) world-space, zero = miss
     normals: Array  # (H, W, 3) unit, zero = miss
     color: Array  # (H, W, 3) float32 0..255, zero = miss / no color
+    found: Array  # (H, W) bool — a zero crossing was claimed (even if the
+    #               refinement later failed; such rays output zeros, like
+    #               the reference's break-on-invalid-interp)
+    hit_t: Array  # (H, W) f32 ray parameter of the claimed crossing (0 if none)
 
 
 def _ray_directions(pose: Array, cam: CameraIntrinsics) -> tuple[Array, Array]:
@@ -82,7 +86,17 @@ def raycast(
     near_plane: float,
     far_plane: float,
     with_color: bool = False,
+    x0=None,
+    own_x_range=None,
+    axis_name=None,
 ) -> RaycastResult:
+    """`x0` / `own_x_range`: sharded-volume support. When the volume is a
+    local x-slab (global origin voxel `x0`), `own_x_range=(wlo, whi)` is
+    the world-x interval this shard OWNS; only zero crossings whose
+    current sample lies inside it are claimed (each crossing is claimed
+    by exactly one shard; the caller pmin/psum-combines shard results).
+    The slab must include halo >= ceil(step/voxel)+3 voxels so the
+    previous sample and the refine/gradient stencils stay readable."""
     h, w = cam.height, cam.width
     size = vol_cfg.size_m
     step = ray_increment
@@ -103,8 +117,11 @@ def raycast(
         last_sdf, found, t_hit = carry
         t = tmin + k * step
         pos = origin_map + world_dir * t[..., None]
-        sdf, _ = sample_nearest(volume, pos, vol_cfg)
+        sdf, _ = sample_nearest(volume, pos, vol_cfg, x0)
         crossing = (last_sdf > 0.0) & (sdf < 0.0) & alive & (t < tmax) & ~found
+        if own_x_range is not None:
+            owned = (pos[..., 0] >= own_x_range[0]) & (pos[..., 0] < own_x_range[1])
+            crossing = crossing & owned
         t_hit = jnp.where(crossing, t, t_hit)
         found = found | crossing
         return sdf, found, t_hit
@@ -112,13 +129,19 @@ def raycast(
     last_sdf0 = jnp.zeros((h, w), jnp.float32)
     found0 = jnp.zeros((h, w), dtype=bool)
     t_hit0 = jnp.zeros((h, w), jnp.float32)
+    if axis_name is not None:
+        # under shard_map the loop body reads the sharded volume, making
+        # the carry per-device "varying"; mark the init accordingly
+        last_sdf0, found0, t_hit0 = jax.lax.pvary(
+            (last_sdf0, found0, t_hit0), axis_name
+        )
     _, found, t_hit = jax.lax.fori_loop(0, n_steps, body, (last_sdf0, found0, t_hit0))
 
     # Refinement (once, vectorized over all pixels; misses masked out).
     cur_pos = origin_map + world_dir * t_hit[..., None]
     prev_pos = origin_map + world_dir * (t_hit - step)[..., None]
-    ftdt, ok1 = sample_tsdf_trilinear(volume, cur_pos, vol_cfg)
-    ft, ok2 = sample_tsdf_trilinear(volume, prev_pos, vol_cfg)
+    ftdt, ok1 = sample_tsdf_trilinear(volume, cur_pos, vol_cfg, x0)
+    ft, ok2 = sample_tsdf_trilinear(volume, prev_pos, vol_cfg, x0)
     denom = ftdt - ft
     alpha = t_hit - step * ftdt / jnp.where(denom == 0.0, 1e-30, denom)
     vertex = origin_map + world_dir * alpha[..., None]
@@ -134,8 +157,8 @@ def raycast(
     ok_grad = jnp.ones((h, w), dtype=bool)
     for axis in range(3):
         offset = jnp.zeros(3, jnp.float32).at[axis].set(cell)
-        f_plus, okp = sample_tsdf_trilinear(volume, vertex + offset, vol_cfg)
-        f_minus, okm = sample_tsdf_trilinear(volume, vertex - offset, vol_cfg)
+        f_plus, okp = sample_tsdf_trilinear(volume, vertex + offset, vol_cfg, x0)
+        f_minus, okm = sample_tsdf_trilinear(volume, vertex - offset, vol_cfg, x0)
         grads.append(f_plus - f_minus)
         ok_grad = ok_grad & okp & okm
     grad = jnp.stack(grads, axis=-1)
@@ -147,11 +170,14 @@ def raycast(
     normals_out = jnp.where(hit[..., None], normal, 0.0)
 
     if with_color:
-        color, ok_c = sample_color_trilinear(volume, vertex, vol_cfg)
+        color, ok_c = sample_color_trilinear(volume, vertex, vol_cfg, x0)
         # the reference writes the color even when interpolation fails only
         # on hit pixels whose color interp succeeded (cu:101-106)
         color_out = jnp.where((found & ok1 & ok2 & ok_c)[..., None], color, 0.0)
     else:
         color_out = jnp.zeros((h, w, 3), jnp.float32)
 
-    return RaycastResult(vertices=vertices_out, normals=normals_out, color=color_out)
+    return RaycastResult(
+        vertices=vertices_out, normals=normals_out, color=color_out,
+        found=found, hit_t=t_hit,
+    )

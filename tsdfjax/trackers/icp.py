@@ -64,7 +64,9 @@ def icp_rows(
     model normal at the looked-up pixel; ||p - q|| > dist_thresh;
     ||n_t x n_i|| > norm_sin_thresh.
     """
-    h, w = new_v.shape[:2]
+    # bounds/indexing use the MODEL map's shape: the source maps may be a
+    # row band of the image under sharding while the target stays full
+    h, w = model_v.shape[:2]
     v_g = transform_points(cur_transform, new_v)  # source vertex, world
     n_g = rotate_vectors(cur_transform, new_n)
     v_cp = transform_points(last_transform_inv, v_g)  # in last camera

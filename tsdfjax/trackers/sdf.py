@@ -69,9 +69,17 @@ def sdf_rows(
     cur_transform: Array,
     vol_cfg: VolumeConfig,
     w_h: float,
+    x0=None,
+    own_x_range=None,
 ) -> tuple[Array, Array]:
     """Per-pixel 7-vector [dψ/dω | dψ/dv | ψ] rows, zeros when invalid.
-    Returns (rows (H,W,7), valid (H,W))."""
+    Returns (rows (H,W,7), valid (H,W)).
+
+    Sharded mode (`x0`, `own_x_range`): the volume is a local x-slab; a
+    pixel contributes on this shard only if its unperturbed world point
+    falls in the owned world-x interval (each pixel claimed exactly once
+    across shards; perturbed samples stay within the halo since both
+    perturbation radii are <= 1 voxel + trilinear support)."""
     v_h = vol_cfg.voxel_size_m
     from tsdfjax.frames import depth_to_vertices
 
@@ -79,15 +87,17 @@ def sdf_rows(
     px_valid = trunced_depth > 0
 
     world0 = transform_points(cur_transform, pts)
-    sdf0, ok0 = sample_tsdf_trilinear(volume, world0, vol_cfg)
+    sdf0, ok0 = sample_tsdf_trilinear(volume, world0, vol_cfg, x0)
     valid = px_valid & ok0
+    if own_x_range is not None:
+        valid = valid & (world0[..., 0] >= own_x_range[0]) & (world0[..., 0] < own_x_range[1])
 
     rot_deltas = _linearized_rotation_deltas(w_h)  # (6,4,4)
     rot_sdfs = []
     for k in range(6):
         t_k = rot_deltas[k] @ cur_transform
         wpos = transform_points(t_k, pts)
-        s, ok = sample_tsdf_trilinear(volume, wpos, vol_cfg)
+        s, ok = sample_tsdf_trilinear(volume, wpos, vol_cfg, x0)
         rot_sdfs.append(s)
         valid = valid & ok
 
@@ -95,7 +105,7 @@ def sdf_rows(
     for axis in range(3):
         for sign in (1.0, -1.0):
             offset = jnp.zeros(3, jnp.float32).at[axis].set(sign * v_h)
-            s, ok = sample_tsdf_trilinear(volume, world0 + offset, vol_cfg)
+            s, ok = sample_tsdf_trilinear(volume, world0 + offset, vol_cfg, x0)
             trans_sdfs.append(s)
             valid = valid & ok
 
@@ -122,6 +132,8 @@ def sdf_track(
     vol_cfg: VolumeConfig,
     cfg: SdfTrackerConfig,
     reduce_fn=None,
+    x0=None,
+    own_x_range=None,
 ) -> SdfResult:
     """Gauss-Newton loop, max cfg.max_iters iterations inside jit."""
     if reduce_fn is None:
@@ -129,7 +141,10 @@ def sdf_track(
 
     def body(_, carry):
         cur, ok, done, residual, n_val = carry
-        rows, valid = sdf_rows(volume, trunced_depth, cam, cur, vol_cfg, cfg.rotation_step_h)
+        rows, valid = sdf_rows(
+            volume, trunced_depth, cam, cur, vol_cfg, cfg.rotation_step_h,
+            x0=x0, own_x_range=own_x_range,
+        )
         r = rows.reshape(-1, 7)
         a7 = reduce_fn(
             jnp.dot(

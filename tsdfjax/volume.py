@@ -73,28 +73,35 @@ def world_to_voxel(pos: Array, cfg: VolumeConfig) -> Array:
     return jnp.trunc(scaled).astype(jnp.int32)
 
 
-def _flat_index(ix: Array, iy: Array, iz: Array, res: int) -> Array:
-    return (ix * res + iy) * res + iz
+def _gather(field: Array, ix: Array, iy: Array, iz: Array, x0=None) -> Array:
+    """Clamped gather from a (X,Y,Z[,C]) field of GLOBAL voxel indices.
 
-
-def _gather(field: Array, ix: Array, iy: Array, iz: Array, res: int) -> Array:
-    """Clamped gather from an (R,R,R) or (R,R,R,C) field."""
-    ix = jnp.clip(ix, 0, res - 1)
-    iy = jnp.clip(iy, 0, res - 1)
-    iz = jnp.clip(iz, 0, res - 1)
-    flat = _flat_index(ix, iy, iz, res)
+    `x0` (traced or static scalar) is the global voxel index of the local
+    block's x=0 plane — used by the sharded path, where each device holds
+    an x-slab (+halo) of the global volume. Indices are clamped to the
+    local extent; callers mask out-of-slab reads via validity instead.
+    """
+    if x0 is not None:
+        ix = ix - x0
+    nx, ny, nz = field.shape[0], field.shape[1], field.shape[2]
+    ix = jnp.clip(ix, 0, nx - 1)
+    iy = jnp.clip(iy, 0, ny - 1)
+    iz = jnp.clip(iz, 0, nz - 1)
+    flat = (ix * ny + iy) * nz + iz
     if field.ndim == 3:
         return field.reshape(-1)[flat]
     return field.reshape(-1, field.shape[-1])[flat]
 
 
-def sample_nearest(volume: TsdfVolume, pos: Array, cfg: VolumeConfig) -> tuple[Array, Array]:
+def sample_nearest(
+    volume: TsdfVolume, pos: Array, cfg: VolumeConfig, x0=None
+) -> tuple[Array, Array]:
     """Clamped nearest-voxel (tsdf, weight) at world positions (...,3)
     (tsdfVolume.h:81-97)."""
     idx = world_to_voxel(pos, cfg)
     ix, iy, iz = idx[..., 0], idx[..., 1], idx[..., 2]
-    t = _gather(volume.tsdf, ix, iy, iz, cfg.resolution)
-    w = _gather(volume.weight, ix, iy, iz, cfg.resolution)
+    t = _gather(volume.tsdf, ix, iy, iz, x0)
+    w = _gather(volume.weight, ix, iy, iz, x0)
     return t, w
 
 
@@ -118,13 +125,13 @@ def _interp_setup(pos: Array, cfg: VolumeConfig) -> tuple[Array, Array, Array]:
 
 
 def _trilinear_field(
-    field: Array, weight: Array, pos: Array, cfg: VolumeConfig
+    field: Array, weight: Array, pos: Array, cfg: VolumeConfig, x0=None
 ) -> tuple[Array, Array]:
-    """Shared trilinear core for tsdf (R,R,R) or color (R,R,R,3).
+    """Shared trilinear core for tsdf (R,R,R) or color (R,R,R,3); the
+    field may be a local x-slab with global-x origin `x0` (sharded path).
 
     valid = in-border AND all 8 corner weights > 0 (tsdfVolume.h:103-110).
     """
-    res = cfg.resolution
     base, frac, in_bounds = _interp_setup(pos, cfg)
     bx, by, bz = base[..., 0], base[..., 1], base[..., 2]
     a, b, c = frac[..., 0], frac[..., 1], frac[..., 2]
@@ -137,8 +144,8 @@ def _trilinear_field(
             wy = (1.0 - b) if dy == 0 else b
             for dz in (0, 1):
                 wz = (1.0 - c) if dz == 0 else c
-                f = _gather(field, bx + dx, by + dy, bz + dz, res)
-                w = _gather(weight, bx + dx, by + dy, bz + dz, res)
+                f = _gather(field, bx + dx, by + dy, bz + dz, x0)
+                w = _gather(weight, bx + dx, by + dy, bz + dz, x0)
                 coeff = wx * wy * wz
                 term = f * coeff[..., None] if field.ndim == 4 else f * coeff
                 value = term if value is None else value + term
@@ -149,17 +156,17 @@ def _trilinear_field(
 
 
 def sample_tsdf_trilinear(
-    volume: TsdfVolume, pos: Array, cfg: VolumeConfig
+    volume: TsdfVolume, pos: Array, cfg: VolumeConfig, x0=None
 ) -> tuple[Array, Array]:
     """Trilinear TSDF at world positions (...,3) -> (value, valid)."""
-    return _trilinear_field(volume.tsdf, volume.weight, pos, cfg)
+    return _trilinear_field(volume.tsdf, volume.weight, pos, cfg, x0)
 
 
 def sample_color_trilinear(
-    volume: TsdfVolume, pos: Array, cfg: VolumeConfig
+    volume: TsdfVolume, pos: Array, cfg: VolumeConfig, x0=None
 ) -> tuple[Array, Array]:
     """Trilinear color at world positions (...,3) -> ((...,3), valid)."""
-    return _trilinear_field(volume.color, volume.weight, pos, cfg)
+    return _trilinear_field(volume.color, volume.weight, pos, cfg, x0)
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +185,7 @@ def integrate(
     vol_cfg: VolumeConfig,
     integ_cfg: IntegrateConfig,
     color_angle_weight: bool = True,
+    x0=None,
 ) -> tuple[TsdfVolume, Array]:
     """Fuse one depth (+color) frame into the volume. Returns
     (new_volume, updated_voxel_count).
@@ -198,9 +206,10 @@ def integrate(
     res = vol_cfg.resolution
     t_inv = se3_inverse(pose)
 
-    ix = jax.lax.broadcasted_iota(jnp.int32, (res, res, res), 0)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (res, res, res), 1)
-    iz = jax.lax.broadcasted_iota(jnp.int32, (res, res, res), 2)
+    shape = volume.tsdf.shape  # (R,R,R) dense, or a local x-slab when sharded
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + (0 if x0 is None else x0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     cell = vol_cfg.size_m / res
     # voxel centers in camera frame (expanded transform to avoid a (R^3,3) stack)
     cx = (ix.astype(jnp.float32) + 0.5) * cell
