@@ -33,6 +33,8 @@ def par_config(**overrides) -> AppConfig:
             max_trunc_m=4.0, min_trunc_m=0.3, sigma_depth=0.02, sigma_pixel=1.0
         ),
         switches=SwitchConfig(use_color=False),
+        # the sharded path runs the exact ops; compare against exact dense
+        fast_ops=False,
     )
     base.update(overrides)
     return AppConfig(**base)

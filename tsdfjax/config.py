@@ -151,6 +151,10 @@ class AppConfig:
     sdf_tracker: SdfTrackerConfig = field(default_factory=SdfTrackerConfig)
     marching_cubes: MarchingCubesConfig = field(default_factory=MarchingCubesConfig)
     io: IOConfig = field(default_factory=IOConfig)
+    # use the MXU shear-warp integrate/raycast (tsdfjax.ops.sweep) instead
+    # of the exact gather-based reference-semantics paths (~25x faster on
+    # TPU; see ops/sweep.py for the small documented semantics deltas)
+    fast_ops: bool = True
 
     @property
     def raycast(self) -> RaycastConfig:

@@ -1,0 +1,659 @@
+"""Perspective shear-warp sweeps: gather-free integrate & raycast on the MXU.
+
+Why: XLA TPU gathers cost ~8.5 ns/element, making the direct ports of the
+reference's per-voxel/per-ray CUDA kernels gather-bound (integrate 174 ms,
+raycast 593 ms at 640x480/256^3 on one v5e chip). This module removes the
+gathers with the perspective shear-warp factorization (Lacroute-Levoy):
+
+For a pinhole camera and a voxel slice k along a volume axis a, the
+homogeneous projection of in-slice coords (i, j) is
+
+    p~ = i*A + j*B + k*D + C0,   A = c*K*Rin*u_b, B = c*K*Rin*u_c,
+                                 D = c*K*Rin*u_a, C0 = K*(Rin*(c/2*1) + tin)
+
+Choosing the basis W = [A | B | D] and g0 = W^-1 C0 gives EXACTLY
+
+    p~ = W * (i + alpha, j + beta, k + kappa),   (alpha,beta,kappa) = g0
+
+so with gamma_k = k + kappa (gamma_k = 0 on the slice through the camera
+center), the pixel of voxel (k,i,j) is pi(W * q~) with
+q = ((i+alpha)/gamma_k, (j+beta)/gamma_k): a per-slice UNIFORM SCALE +
+TRANSLATION of a regular grid, composed with ONE k-independent 2D
+homography W. Therefore:
+
+  - integrate: warp the image channels ONCE by W into "q-space"
+    (one per-pixel gather), then resample the warped image onto every
+    volume slice with two small matmuls whose interpolation matrices are
+    built on the fly from iota (box = nearest / hat = bilinear). The
+    projective SDF update is then fully elementwise.
+  - raycast: resample each volume slice onto the fixed q grid with two
+    matmuls (each q point IS one camera ray), run first-crossing
+    compositing elementwise over slices (z_cam = gamma_k * w2(q) is
+    monotonic in k per ray), and produce model maps with one final
+    per-pixel nearest lookup of the packed intermediate fields.
+
+The sweep axis is the volume axis most parallel to the view direction
+(|cos| >= 1/sqrt(3)), selected at trace time via lax.switch over the
+three transposes; ray sample spacing is <= sqrt(3) voxels — FINER than
+the reference's 0.8*sdf_trunc march step.
+
+Semantics deltas vs the exact path (tsdfjax.volume.integrate /
+tsdfjax.raycast.raycast), all tested at tolerance:
+  - integrate depth lookup is nearest-of-nearest (two-stage) instead of
+    single-stage nearest: <= 1 px association difference at silhouettes;
+  - voxels within one slice of the camera-center plane are skipped
+    (free-space-only updates there);
+  - raycast marches bilinear in-plane samples at slice crossings rather
+    than nearest samples at fixed t steps (finer + smoother);
+  - normals interpolate a precomputed central-difference gradient volume
+    instead of differentiating the trilinear interpolant;
+  - trilinear validity (all-8-corners-observed) is enforced via a swept
+    validity channel with a 0.999 threshold.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tsdfjax.config import IntegrateConfig, VolumeConfig
+from tsdfjax.geometry import CameraIntrinsics, se3_inverse
+from tsdfjax.volume import TsdfVolume
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# factorization
+# ---------------------------------------------------------------------------
+
+
+class SweepGeom(NamedTuple):
+    w: Array  # (3,3) the k-independent homography (columns A, B, D)
+    w_inv: Array
+    alpha: Array  # () in-slice i offset
+    beta: Array  # () in-slice j offset
+    kappa: Array  # () gamma_k = k + kappa
+    rin: Array  # (3,3) world->camera rotation
+    tin: Array  # (3,) world->camera translation
+    u_a: Array  # (3,) world unit vector of the sweep axis
+    u_b: Array
+    u_c: Array
+
+
+def _k_matrix(cam: CameraIntrinsics) -> Array:
+    return jnp.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]], jnp.float32
+    )
+
+
+def make_sweep_geom(pose: Array, cam: CameraIntrinsics, vol_cfg: VolumeConfig, axis: int) -> SweepGeom:
+    """axis: STATIC sweep axis (0/1/2 of the volume's (x,y,z) layout)."""
+    cell = vol_cfg.voxel_size_m
+    t_inv = se3_inverse(pose)
+    rin, tin = t_inv[:3, :3], t_inv[:3, 3]
+    k_mat = _k_matrix(cam)
+    axes = [0, 1, 2]
+    b_ax, c_ax = [x for x in axes if x != axis]
+    u = jnp.eye(3, dtype=jnp.float32)
+    u_a, u_b, u_c = u[axis], u[b_ax], u[c_ax]
+    m = k_mat @ rin
+    a_col = cell * m @ u_b
+    b_col = cell * m @ u_c
+    d_col = cell * m @ u_a
+    c0 = k_mat @ (rin @ (jnp.full(3, 0.5 * cell)) + tin)
+    w = jnp.stack([a_col, b_col, d_col], axis=1)
+    w_inv = jnp.linalg.inv(w)
+    g0 = w_inv @ c0
+    return SweepGeom(
+        w=w, w_inv=w_inv, alpha=g0[0], beta=g0[1], kappa=g0[2],
+        rin=rin, tin=tin, u_a=u_a, u_b=u_b, u_c=u_c,
+    )
+
+
+def pick_sweep_axis(pose: Array) -> Array:
+    """Traced index of the volume axis most parallel to the camera's
+    forward direction (pose column z)."""
+    view = pose[:3, 2]
+    return jnp.argmax(jnp.abs(view))
+
+
+# ---------------------------------------------------------------------------
+# interpolation-matrix resampling (the gather replacement)
+# ---------------------------------------------------------------------------
+
+
+def _interp_matrix(positions: Array, n_src: int, mode: str) -> Array:
+    """(n_out, n_src) matrix M with M[o, s] = weight of source sample s for
+    output position positions[o] (in source-index units).
+
+    mode='nearest': box (exactly one 1 per valid row);
+    mode='linear' : hat (two nonzeros). Rows whose position falls outside
+    [0, n_src-1] get all-zero (nearest) / partial (linear edge) weights —
+    consumers detect this through a swept validity channel.
+    """
+    src = jax.lax.broadcasted_iota(jnp.float32, (positions.shape[0], n_src), 1)
+    d = src - positions[:, None]
+    if mode == "nearest":
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def resample_slice(
+    src: Array, rows_pos: Array, cols_pos: Array, mode: str
+) -> Array:
+    """src (C, H, W) resampled at the separable grid rows_pos (n_i) x
+    cols_pos (n_j) -> (C, n_i, n_j). Two MXU matmuls; no gathers."""
+    c, h, w = src.shape
+    mi = _interp_matrix(rows_pos, h, mode)  # (n_i, H)
+    mj = _interp_matrix(cols_pos, w, mode)  # (n_j, W)
+    tmp = jnp.einsum(
+        "ih,chw->ciw", mi, src, preferred_element_type=jnp.float32
+    )
+    return jnp.einsum(
+        "jw,ciw->cij", mj, tmp, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# image -> volume projection (the integrate direction)
+# ---------------------------------------------------------------------------
+
+
+def _warp_image_to_q(
+    channels: Array, geom: SweepGeom, q_grid, mode: str = "nearest"
+) -> Array:
+    """channels (C, H, W) -> warped (C, Qh, Qw) with warped[:, gi, gj] =
+    channels at pixel pi(W * (q1(gi), q2(gj), 1)). One per-pixel gather
+    (Qh*Qw elements), once per frame."""
+    c, h, w = channels.shape
+    q1_0, q1_s, q2_0, q2_s, qh, qw = q_grid
+    gi = jnp.arange(qh, dtype=jnp.float32)
+    gj = jnp.arange(qw, dtype=jnp.float32)
+    q1 = q1_0 + gi / q1_s
+    q2 = q2_0 + gj / q2_s
+    # homogeneous pixel = W @ (q1, q2, 1)
+    p = (
+        geom.w[:, 0][:, None, None] * q1[None, :, None]
+        + geom.w[:, 1][:, None, None] * q2[None, None, :]
+        + geom.w[:, 2][:, None, None]
+    )  # (3, Qh, Qw)
+    z = p[2]
+    zsafe = jnp.where(jnp.abs(z) < 1e-20, 1e-20, z)
+    u = p[0] / zsafe
+    v = p[1] / zsafe
+    ui = jnp.floor(u + 0.5).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+    # reference integrate rejects the outermost pixel ring (cu:43)
+    in_img = (ui >= 1) & (ui < w - 1) & (vi >= 1) & (vi < h - 1)
+    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+    vals = channels.reshape(c, -1)[:, flat]
+    return jnp.where(in_img[None], vals, 0.0)
+
+
+def _q_grid_for(geom: SweepGeom, cam: CameraIntrinsics, res: int, qh: int, qw: int):
+    """Affine q -> grid-index map (traced) for a STATIC (qh, qw) grid.
+
+    The useful q domain is the image rectangle's footprint under W^-1
+    intersected with the voxel-side q range over slices at least one
+    slice away from the camera plane; we take the image footprint (it
+    bounds everything the warp can see) with a small margin, falling
+    back to a unit window if the horizon degenerates it.
+    """
+    corners = jnp.array(
+        [[0.0, 0.0, 1.0], [cam.width - 1.0, 0.0, 1.0],
+         [0.0, cam.height - 1.0, 1.0], [cam.width - 1.0, cam.height - 1.0, 1.0]],
+        jnp.float32,
+    )
+    qc = corners @ geom.w_inv.T  # (4, 3)
+    wz = qc[:, 2]
+    ok = jnp.all(jnp.abs(wz) > 1e-8) & (jnp.all(wz > 0) | jnp.all(wz < 0))
+    wz_safe = jnp.where(jnp.abs(wz) < 1e-8, 1e-8, wz)
+    q1c = qc[:, 0] / wz_safe
+    q2c = qc[:, 1] / wz_safe
+    margin = 0.02
+    q1_min = jnp.min(q1c); q1_max = jnp.max(q1c)
+    q2_min = jnp.min(q2c); q2_max = jnp.max(q2c)
+    d1 = jnp.maximum(q1_max - q1_min, 1e-6)
+    d2 = jnp.maximum(q2_max - q2_min, 1e-6)
+    q1_0 = jnp.where(ok, q1_min - margin * d1, 0.0)
+    q2_0 = jnp.where(ok, q2_min - margin * d2, 0.0)
+    q1_s = jnp.where(ok, (qh - 1) / (d1 * (1 + 2 * margin)), 1.0)  # grid per q
+    q2_s = jnp.where(ok, (qw - 1) / (d2 * (1 + 2 * margin)), 1.0)
+    return (q1_0, q1_s, q2_0, q2_s, qh, qw)
+
+
+def _round8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _round128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def project_image_to_volume(
+    channels: Array,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    axis: int,
+    mode: str = "nearest",
+    q_oversample: float = 1.3,
+) -> Array:
+    """channels (C, H, W) -> (C, R, R, R) in SWEEP-PERMUTED voxel layout
+    [k, i, j] (axis `axis` first), where out[:, k, i, j] = channels at the
+    pixel the voxel projects to (zeros when unusable). `axis` is static.
+    """
+    c, h, w = channels.shape
+    res = vol_cfg.resolution
+    geom = make_sweep_geom(pose, cam, vol_cfg, axis)
+    qh = _round8(int(h * q_oversample))
+    qw = _round128(int(w * q_oversample))
+    q_grid = _q_grid_for(geom, cam, res, qh, qw)
+    warped = _warp_image_to_q(channels, geom, q_grid, mode)
+    q1_0, q1_s, q2_0, q2_s, _, _ = q_grid
+
+    ii = jnp.arange(res, dtype=jnp.float32)
+    jj = jnp.arange(res, dtype=jnp.float32)
+
+    def body(carry, k):
+        gamma = k.astype(jnp.float32) + geom.kappa
+        usable = jnp.abs(gamma) >= 1.0
+        gsafe = jnp.where(usable, gamma, 1.0)
+        q1 = (ii + geom.alpha) / gsafe  # (R,)
+        q2 = (jj + geom.beta) / gsafe
+        rows = (q1 - q1_0) * q1_s
+        cols = (q2 - q2_0) * q2_s
+        out = resample_slice(warped, rows, cols, mode)
+        out = jnp.where(usable, out, 0.0)
+        return carry, out
+
+    _, vol = jax.lax.scan(body, jnp.array(0), jnp.arange(res), unroll=1)
+    # vol: (R, C, R, R) -> (C, R, R, R)
+    return jnp.moveaxis(vol, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# fast integrate
+# ---------------------------------------------------------------------------
+
+
+_PERMS = ((0, 1, 2), (1, 0, 2), (2, 0, 1))  # axis -> (k, i, j) volume axes
+_INV_PERMS = tuple(
+    tuple(sorted(range(3), key=lambda i, p=p: p[i])) for p in _PERMS
+)
+
+
+def _cam_affine(geom: SweepGeom, vol_cfg: VolumeConfig):
+    """Coefficients of the affine map (k,i,j) -> camera-frame point."""
+    cell = vol_cfg.voxel_size_m
+    ca = cell * geom.rin @ geom.u_a
+    cb = cell * geom.rin @ geom.u_b
+    cc = cell * geom.rin @ geom.u_c
+    c0 = geom.rin @ (jnp.full(3, 0.5 * cell)) + geom.tin
+    return ca, cb, cc, c0
+
+
+def _integrate_axis(
+    volume_perm: tuple[Array, Array, Array],
+    depth: Array,
+    normals: Array,
+    rgb: Array | None,
+    pose: Array,
+    depth_cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    integ_cfg: IntegrateConfig,
+    color_angle_weight: bool,
+    axis: int,
+):
+    """Integrate with STATIC sweep axis; volume arrays already permuted to
+    [k, i, j] layout. Returns permuted updated arrays + count."""
+    tsdf, weight, color = volume_perm
+    res = vol_cfg.resolution
+    h, w = depth.shape
+    geom = make_sweep_geom(pose, depth_cam, vol_cfg, axis)
+
+    chans = [depth, (depth > 0).astype(jnp.float32), normals[..., 2]]
+    if rgb is not None:
+        chans += [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    img = jnp.stack(chans, axis=0)
+    volch = project_image_to_volume(img, pose, depth_cam, vol_cfg, axis, mode="nearest")
+    d_vol = volch[0]
+    valid_vol = volch[1] > 0.5
+    nz_vol = volch[2]
+
+    # camera z per voxel: affine in (k, i, j)
+    ca, cb, cc, c0 = _cam_affine(geom, vol_cfg)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (res, res, res), 0)
+    ii = jax.lax.broadcasted_iota(jnp.float32, (res, res, res), 1)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (res, res, res), 2)
+    pz = ca[2] * kk + cb[2] * ii + cc[2] * jj + c0[2]
+
+    trunc = integ_cfg.sdf_trunc_m
+    sdf = d_vol - pz
+    update = (
+        (pz > 0)
+        & valid_vol
+        & (d_vol != 0)
+        & (d_vol < integ_cfg.max_integrate_dist_m)
+        & (sdf > -trunc)
+    )
+    tsdf_new = jnp.minimum(1.0, sdf / trunc)
+    w_old = weight
+    w_new = jnp.where(update, jnp.minimum(w_old + 1.0, vol_cfg.max_weight), w_old)
+    tsdf_fused = (tsdf * w_old + tsdf_new) / jnp.maximum(w_old + 1.0, 1e-30)
+    tsdf_out = jnp.where(update, tsdf_fused, tsdf)
+
+    if rgb is not None:
+        pix_color = jnp.stack([volch[3], volch[4], volch[5]], axis=-1)
+        if color_angle_weight:
+            w_color = jnp.minimum(1.0, jnp.abs(nz_vol) / 0.75) * 2.0
+        else:
+            w_color = jnp.full_like(nz_vol, 2.0)
+        cdenom = jnp.maximum(w_old + w_color, 1e-30)
+        color_fused = jnp.minimum(
+            255.0,
+            (color * w_old[..., None] + pix_color * w_color[..., None])
+            / cdenom[..., None],
+        )
+        color_out = jnp.where(update[..., None], color_fused, color)
+    else:
+        color_out = color
+
+    count = jnp.sum(update.astype(jnp.int32))
+    return tsdf_out, w_new, color_out, count
+
+
+def fast_integrate(
+    volume: TsdfVolume,
+    depth: Array,
+    normals: Array,
+    rgb: Array | None,
+    pose: Array,
+    depth_cam: CameraIntrinsics,
+    rgb_cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    integ_cfg: IntegrateConfig,
+    color_angle_weight: bool = True,
+) -> tuple[TsdfVolume, Array]:
+    """Gather-free TSDF fusion (shear-warp). API-compatible with
+    tsdfjax.volume.integrate.
+
+    Note: color is looked up through the DEPTH camera here (the two are
+    registered in every shipped config); the exact path supports distinct
+    rgb intrinsics.
+    """
+    axis = pick_sweep_axis(pose)
+
+    def branch(a):
+        perm = _PERMS[a]
+        inv = _INV_PERMS[a]
+
+        def run(_):
+            vol_perm = (
+                jnp.transpose(volume.tsdf, perm),
+                jnp.transpose(volume.weight, perm),
+                jnp.transpose(volume.color, (*perm, 3)),
+            )
+            t, w, c, count = _integrate_axis(
+                vol_perm, depth, normals, rgb, pose, depth_cam,
+                vol_cfg, integ_cfg, color_angle_weight, a,
+            )
+            return (
+                jnp.transpose(t, inv),
+                jnp.transpose(w, inv),
+                jnp.transpose(c, (*inv, 3)),
+                count,
+            )
+
+        return run
+
+    t, w, c, count = jax.lax.switch(axis, [branch(0), branch(1), branch(2)], None)
+    return TsdfVolume(tsdf=t, weight=w, color=c), count
+
+
+# ---------------------------------------------------------------------------
+# fast raycast
+# ---------------------------------------------------------------------------
+
+
+def _shift_diff(x: Array, axis: int) -> Array:
+    """Central difference (x[i+1] - x[i-1]) with zero at the borders."""
+    fwd = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)],
+        axis=axis,
+    )
+    bwd = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    return fwd - bwd
+
+
+def _erode6(v: Array) -> Array:
+    """min over the 6-neighborhood + self (edge-replicated)."""
+    out = v
+    for axis in range(3):
+        up = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)],
+            axis=axis,
+        )
+        dn = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)],
+            axis=axis,
+        )
+        out = jnp.minimum(out, jnp.minimum(up, dn))
+    return out
+
+
+def _raycast_axis(
+    tsdf_p: Array,
+    weight_p: Array,
+    color_p: Array | None,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    near_plane: float,
+    far_plane: float,
+    axis: int,
+    q_oversample: float,
+):
+    """Sweep raycast with STATIC axis over [k,i,j]-permuted volume arrays.
+    Returns per-PIXEL packed model maps (vertices, normals, color, found,
+    z_cam)."""
+    res = vol_cfg.resolution
+    cell = vol_cfg.voxel_size_m
+    h, w = cam.height, cam.width
+    geom = make_sweep_geom(pose, cam, vol_cfg, axis)
+    qh = _round8(int(h * q_oversample))
+    qw = _round128(int(w * q_oversample))
+    q_grid = _q_grid_for(geom, cam, res, qh, qw)
+    q1_0, q1_s, q2_0, q2_s, _, _ = q_grid
+    q1 = q1_0 + jnp.arange(qh, dtype=jnp.float32) / q1_s  # (Qh,)
+    q2 = q2_0 + jnp.arange(qw, dtype=jnp.float32) / q2_s  # (Qw,)
+
+    # per-ray constant: z_cam = gamma_k * w2q
+    w2q = (
+        geom.w[2, 0] * q1[:, None] + geom.w[2, 1] * q2[None, :] + geom.w[2, 2]
+    )  # (Qh, Qw)
+    pos_dir = w2q > 0
+
+    # channel stack: tsdf, validity, grad-validity, grad_k, grad_i, grad_j
+    # [+ color r,g,b]
+    v_obs = (weight_p > 0).astype(jnp.float32)
+    gv = _erode6(v_obs)
+    chans = [
+        tsdf_p, v_obs, gv,
+        _shift_diff(tsdf_p, 0), _shift_diff(tsdf_p, 1), _shift_diff(tsdf_p, 2),
+    ]
+    if color_p is not None:
+        chans += [color_p[..., 0], color_p[..., 1], color_p[..., 2]]
+    vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
+    n_ch = vol_ch.shape[0]
+
+    def sample_k(k):
+        gamma = k.astype(jnp.float32) + geom.kappa
+        usable = jnp.abs(gamma) >= 1e-3
+        gsafe = jnp.where(usable, gamma, 1.0)
+        rows = q1 * gsafe - geom.alpha  # slice i positions (Qh,)
+        cols = q2 * gsafe - geom.beta  # slice j positions (Qw,)
+        slice_ch = jax.lax.dynamic_index_in_dim(vol_ch, k, axis=1, keepdims=False)
+        out = resample_slice(slice_ch, rows, cols, "linear")  # (C, Qh, Qw)
+        return jnp.where(usable, out, 0.0), gamma
+
+    zero_q = jnp.zeros((qh, qw), jnp.float32)
+    init = dict(
+        prev=jnp.zeros((n_ch, qh, qw), jnp.float32),
+        prev_gamma=zero_q,
+        done_pos=jnp.zeros((qh, qw), bool),  # pos-dir rays: latch first
+        hit=jnp.zeros((qh, qw), bool),
+        out_ok=jnp.zeros((qh, qw), bool),
+        k_star=zero_q,
+        ch_star=jnp.zeros((n_ch, qh, qw), jnp.float32),
+    )
+
+    def body(st, k):
+        cur, gamma = sample_k(k)
+        f_cur = cur[0]
+        f_prev = st["prev"][0]
+        z_cur = gamma * w2q
+        have_prev = k > 0
+
+        # pos-dir rays: ray order == k order; earlier sample = prev
+        cross_p = have_prev & pos_dir & (f_prev > 0) & (f_cur < 0) & ~st["done_pos"]
+        # neg-dir rays: ray order reversed; earlier sample = cur
+        cross_n = have_prev & ~pos_dir & (f_cur > 0) & (f_prev < 0)
+
+        cross = cross_p | cross_n
+        # earlier(E)/later(L) samples along the RAY
+        f_e = jnp.where(pos_dir, f_prev, f_cur)
+        f_l = jnp.where(pos_dir, f_cur, f_prev)
+        denom = f_e - f_l
+        frac = f_e / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        k_e = jnp.where(pos_dir, k - 1.0, k.astype(jnp.float32))
+        k_l = jnp.where(pos_dir, k.astype(jnp.float32), k - 1.0)
+        k_star_new = k_e + (k_l - k_e) * frac
+        ch_e = jnp.where(pos_dir[None], st["prev"], cur)
+        ch_l = jnp.where(pos_dir[None], cur, st["prev"])
+        ch_star_new = ch_e + frac[None] * (ch_l - ch_e)
+
+        z_star = (k_star_new + geom.kappa) * w2q
+        in_range = (z_star >= near_plane) & (z_star <= far_plane)
+        valid_interp = (
+            (jnp.where(pos_dir, st["prev"][1], cur[1]) > 0.999)
+            & (jnp.where(pos_dir, cur[1], st["prev"][1]) > 0.999)
+            & (ch_star_new[2] > 0.999)  # gradient stencil observed
+        )
+        accept = cross & in_range
+
+        st_new = dict(
+            prev=cur,
+            prev_gamma=gamma * jnp.ones_like(zero_q),
+            done_pos=st["done_pos"] | (cross_p & in_range),
+            # pos-dir: first accepted crossing latches (done_pos);
+            # neg-dir: later (larger-k = nearer-to-camera) accepts overwrite
+            hit=st["hit"] | accept,
+            out_ok=jnp.where(accept, valid_interp, st["out_ok"]),
+            k_star=jnp.where(accept, k_star_new, st["k_star"]),
+            ch_star=jnp.where(accept[None], ch_star_new, st["ch_star"]),
+        )
+        return st_new, None
+
+    st, _ = jax.lax.scan(body, init, jnp.arange(res), unroll=1)
+
+    hit = st["hit"] & st["out_ok"]
+    k_star = st["k_star"]
+    gamma_star = k_star + geom.kappa
+    i_star = q1[:, None] * gamma_star - geom.alpha
+    j_star = q2[None, :] * gamma_star - geom.beta
+    vert = (
+        (k_star[..., None] + 0.5) * geom.u_a
+        + (i_star[..., None] + 0.5) * geom.u_b
+        + (j_star[..., None] + 0.5) * geom.u_c
+    ) * cell  # (Qh, Qw, 3) world
+    # gradient channels are along permuted axes (k,i,j) = world axes
+    # (axis, b, c); reassemble into world order
+    g_perm = jnp.stack([st["ch_star"][3], st["ch_star"][4], st["ch_star"][5]], axis=-1)
+    grad_world = (
+        g_perm[..., 0:1] * geom.u_a + g_perm[..., 1:2] * geom.u_b + g_perm[..., 2:3] * geom.u_c
+    )
+    glen = jnp.linalg.norm(grad_world, axis=-1, keepdims=True)
+    normal = grad_world / jnp.maximum(glen, 1e-30)
+    hit = hit & (glen[..., 0] >= 1e-8)
+
+    vert = jnp.where(hit[..., None], vert, 0.0)
+    normal = jnp.where(hit[..., None], normal, 0.0)
+    if color_p is not None:
+        color_q = jnp.where(hit[..., None],
+                            jnp.stack([st["ch_star"][6], st["ch_star"][7], st["ch_star"][8]], axis=-1),
+                            0.0)
+    else:
+        color_q = jnp.zeros((qh, qw, 3), jnp.float32)
+    z_q = jnp.where(hit, gamma_star * w2q, 0.0)
+
+    # ---- final per-pixel nearest lookup in q space (one packed gather)
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    phom = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1) @ geom.w_inv.T
+    wz = phom[..., 2]
+    wz_safe = jnp.where(jnp.abs(wz) < 1e-20, 1e-20, wz)
+    pq1 = phom[..., 0] / wz_safe
+    pq2 = phom[..., 1] / wz_safe
+    gi = jnp.floor((pq1 - q1_0) * q1_s + 0.5).astype(jnp.int32)
+    gj = jnp.floor((pq2 - q2_0) * q2_s + 0.5).astype(jnp.int32)
+    in_grid = (gi >= 0) & (gi < qh) & (gj >= 0) & (gj < qw)
+    flat = jnp.clip(gi, 0, qh - 1) * qw + jnp.clip(gj, 0, qw - 1)
+
+    packed = jnp.concatenate(
+        [vert, normal, color_q, hit[..., None].astype(jnp.float32), z_q[..., None]],
+        axis=-1,
+    ).reshape(qh * qw, -1)
+    px = packed[flat]
+    px = jnp.where(in_grid[..., None], px, 0.0)
+    return px[..., 0:3], px[..., 3:6], px[..., 6:9], px[..., 9] > 0.5, px[..., 10]
+
+
+def fast_raycast(
+    volume: TsdfVolume,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    near_plane: float,
+    far_plane: float,
+    with_color: bool = False,
+    q_oversample: float = 1.3,
+):
+    """Gather-free shear-warp raycast. Returns a tsdfjax.raycast
+    RaycastResult (hit_t is the camera-space depth of the hit, not the
+    reference's ray parameter — both orderings agree per ray)."""
+    from tsdfjax.raycast import RaycastResult
+
+    axis = pick_sweep_axis(pose)
+
+    def branch(a):
+        perm = _PERMS[a]
+
+        def run(_):
+            t_p = jnp.transpose(volume.tsdf, perm)
+            w_p = jnp.transpose(volume.weight, perm)
+            c_p = jnp.transpose(volume.color, (*perm, 3)) if with_color else None
+            return _raycast_axis(
+                t_p, w_p, c_p, pose, cam, vol_cfg, near_plane, far_plane,
+                a, q_oversample,
+            )
+
+        return run
+
+    vert, normal, color, found, z = jax.lax.switch(
+        axis, [branch(0), branch(1), branch(2)], None
+    )
+    return RaycastResult(
+        vertices=vert, normals=normal, color=color, found=found, hit_t=z
+    )

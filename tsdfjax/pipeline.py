@@ -34,6 +34,7 @@ from tsdfjax import volume as V
 from tsdfjax import raycast as R
 from tsdfjax.trackers.icp import icp_track
 from tsdfjax.trackers.sdf import sdf_track
+from tsdfjax.ops.sweep import fast_integrate, fast_raycast
 
 Array = jnp.ndarray
 
@@ -151,6 +152,12 @@ def process_frame(
     pose, ok, residual, corr = _track(cfg, mode, state, trunced, verts, normals, ext_pose)
 
     def do_integrate(vol):
+        if cfg.fast_ops:
+            return fast_integrate(
+                vol, trunced, normals, rgb if with_color else None, pose,
+                cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
+                color_angle_weight=cfg.switches.color_angle_weight,
+            )
         return V.integrate(
             vol, trunced, normals, rgb if with_color else None, pose,
             cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
@@ -164,11 +171,17 @@ def process_frame(
         state.volume,
     )
 
-    rc = R.raycast(
-        vol, pose, cfg.depth_camera, cfg.volume,
-        cfg.raycast.ray_increment_m, pre.min_trunc_m, pre.max_trunc_m,
-        with_color=with_color,
-    )
+    if cfg.fast_ops:
+        rc = fast_raycast(
+            vol, pose, cfg.depth_camera, cfg.volume,
+            pre.min_trunc_m, pre.max_trunc_m, with_color=with_color,
+        )
+    else:
+        rc = R.raycast(
+            vol, pose, cfg.depth_camera, cfg.volume,
+            cfg.raycast.ray_increment_m, pre.min_trunc_m, pre.max_trunc_m,
+            with_color=with_color,
+        )
 
     new_state = FusionState(
         volume=vol,
