@@ -1,0 +1,139 @@
+"""End-to-end application-layer tests: CLI loop, keyframes, checkpoint,
+trajectory, mesh output (the reference's MainController surface)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tsdfjax.app import main
+from tsdfjax.keyframes import KeyframeManager
+
+
+INI = """
+[switch]
+use_color=0
+[camera]
+depth_cols=160
+depth_rows=120
+depth_cx=79.5
+depth_cy=59.5
+depth_fx=150.0
+depth_fy=150.0
+rgb_cols=160
+rgb_rows=120
+[kinectfusion]
+volume_resolution=64
+volume_size_meter=2
+integrate_sdf_trunc=0.06
+integrate_depth_trunc=2.5
+filter_sigma_pixel=1
+[icp]
+icp_pyramid_level=3
+"""
+
+
+@pytest.fixture
+def ini_path(tmp_path):
+    p = tmp_path / "cfg.ini"
+    p.write_text(INI)
+    return str(p)
+
+
+class TestAppCli:
+    def test_synthetic_run_produces_outputs(self, ini_path, tmp_path):
+        out = str(tmp_path)
+        rc = main([
+            "--config", ini_path, "--synthetic", "5", "--tracker", "file",
+            "--mesh-out", f"{out}/m.obj", "--traj-out", f"{out}/traj.txt",
+            "--checkpoint", f"{out}/ckpt.npz", "--log-jsonl", f"{out}/log.jsonl",
+        ])
+        assert rc == 0
+        assert os.path.getsize(f"{out}/m.obj") > 1000
+        assert len(open(f"{out}/traj.txt").readlines()) == 5 + 3  # 3 header lines
+        assert os.path.exists(f"{out}/ckpt.npz")
+        import json
+
+        logs = [json.loads(l) for l in open(f"{out}/log.jsonl")]
+        assert len(logs) == 5
+        assert all(l["tracking_ok"] for l in logs)
+        assert logs[-1]["integrated_voxels"] > 0
+
+    def test_resume_continues(self, ini_path, tmp_path):
+        out = str(tmp_path)
+        assert main([
+            "--config", ini_path, "--synthetic", "4", "--tracker", "file",
+            "--checkpoint", f"{out}/ckpt.npz",
+        ]) == 0
+        # resume and run more frames; should not crash and should produce a mesh
+        assert main([
+            "--config", ini_path, "--synthetic", "6", "--tracker", "file",
+            "--resume", f"{out}/ckpt.npz", "--max-frames", "2",
+            "--mesh-out", f"{out}/m2.obj",
+        ]) == 0
+        assert os.path.getsize(f"{out}/m2.obj") > 1000
+
+    def test_checkpoint_mismatch_rejected(self, ini_path, tmp_path):
+        from tsdfjax.checkpoint import load_state, save_state
+        from tsdfjax.config import load_ini, AppConfig
+        from tsdfjax.pipeline import init_state
+
+        cfg = load_ini(ini_path)
+        st = init_state(cfg)
+        path = str(tmp_path / "c.npz")
+        save_state(path, st, cfg)
+        with pytest.raises(ValueError):
+            load_state(path, AppConfig())  # different resolution/camera
+
+
+class TestKeyframes:
+    def test_interval_and_bound(self):
+        km = KeyframeManager(max_keyframes=3, interval=10)
+        pose = np.eye(4, dtype=np.float32)
+        added = [km.maybe_add(i, float(i), pose) for i in range(45)]
+        assert sum(added) == 5  # frames 0,10,20,30,40
+        assert len(km) == 3  # bounded deque keeps the last 3
+        assert km.last.frame_id == 40
+
+    def test_write_to_dir(self, tmp_path):
+        km = KeyframeManager(interval=1)
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            km.add(i, float(i), np.eye(4),
+                   depth_m=rng.uniform(0, 3, (12, 16)).astype(np.float32),
+                   rgb=rng.uniform(0, 255, (12, 16, 3)).astype(np.float32))
+        idx = km.write_to_dir(str(tmp_path))
+        lines = [l for l in open(idx) if not l.startswith("#")]
+        assert len(lines) == 2
+        assert os.path.exists(str(tmp_path / "keyframe_rgb0.png"))
+        assert os.path.exists(str(tmp_path / "keyframe_depth1.png"))
+
+
+class TestFastSdfTracker:
+    def test_fast_matches_exact_tracking(self):
+        import dataclasses
+        import jax.numpy as jnp
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_pipeline import small_config, fly_through
+        from tsdfjax import synthetic as syn
+        from tsdfjax.pipeline import FusionEngine
+
+        scene = syn.default_scene(2.0)
+        results = {}
+        for name, fast in (("exact", False), ("fast", True)):
+            cfg = dataclasses.replace(small_config(), fast_ops=fast)
+            poses = fly_through(cfg, 8, arc=0.12)
+            engine = FusionEngine(cfg, mode="sdf")
+            errs = []
+            for pose in poses:
+                d = syn.render_depth(pose, cfg.depth_camera, scene)
+                diag = engine.step(d)
+                assert bool(diag.tracking_ok), f"{name} lost"
+                errs.append(
+                    np.linalg.norm(np.asarray(diag.pose)[:3, 3] - pose[:3, 3])
+                )
+            results[name] = max(errs)
+        # analytic-gradient tracker must be as accurate as the numeric one
+        assert results["fast"] < max(2 * results["exact"], 0.02)

@@ -1,0 +1,219 @@
+"""Application driver: the reference's main.cpp + MainController loop.
+
+Wires config -> data source -> fusion engine -> keyframes/trajectory ->
+mesh output (MainController.cpp:29-109), as a CLI:
+
+    python -m tsdfjax.app --config config.ini --dataset /path/to/tum_seq
+    python -m tsdfjax.app --synthetic 100 --tracker icp --mesh-out out.obj
+
+Differences from the reference by design (SURVEY.md §7 quirks list): no
+modal waitKey on tracking loss (loss is logged and the loop continues,
+raycasting from the last good pose like the reference's post-loss
+raycast); no 2000-frame hardcoded cap (use --max-frames); debug views go
+to PNG files instead of windows; checkpoint/resume added.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="tsdfjax dense RGB-D reconstruction")
+    p.add_argument("--config", help="reference-format config.ini")
+    p.add_argument("--dataset", help="TUM RGB-D sequence directory")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run N synthetic frames instead of a dataset")
+    p.add_argument("--tracker", choices=["icp", "sdf", "file", "none"],
+                   help="override tracker selection from the config switches")
+    p.add_argument("--max-frames", type=int, default=0, help="0 = all")
+    p.add_argument("--mesh-out", help="save marching-cubes mesh here at the end")
+    p.add_argument("--traj-out", help="record TUM trajectory here")
+    p.add_argument("--groundtruth", help="groundtruth.txt for file mode / final ATE")
+    p.add_argument("--keyframe-dir", help="dump keyframes here at the end")
+    p.add_argument("--checkpoint", help="save checkpoint here at the end")
+    p.add_argument("--resume", help="resume from this checkpoint")
+    p.add_argument("--debug-dir", help="dump debug PNGs here")
+    p.add_argument("--debug-every", type=int, default=50)
+    p.add_argument("--log-jsonl", help="write per-frame JSONL log here")
+    p.add_argument("--exact", action="store_true",
+                   help="use the exact gather-based ops instead of the fast MXU paths")
+    p.add_argument("--depth-factor", type=float, default=5000.0)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tsdfjax.config import AppConfig, load_ini
+    import dataclasses
+
+    cfg = load_ini(args.config) if args.config else AppConfig()
+    if args.exact:
+        cfg = dataclasses.replace(cfg, fast_ops=False)
+    print(cfg.describe(), file=sys.stderr)
+
+    from tsdfjax.pipeline import FusionEngine, initial_pose
+    from tsdfjax.keyframes import KeyframeManager
+    from tsdfjax.utils.logging import FrameLog, RunLogger, StageTimer
+    from tsdfjax.io import tum
+    from tsdfjax import synthetic as syn, viewer
+
+    mode = args.tracker
+    if mode is None:
+        sw = cfg.switches
+        mode = "file" if sw.use_traj_from_file else ("sdf" if sw.use_sdf_tracker else "icp")
+
+    engine = FusionEngine(cfg, mode=mode)
+    if args.resume:
+        from tsdfjax.checkpoint import load_state
+
+        engine.state = load_state(args.resume, cfg)
+        print(f"resumed at frame {int(engine.state.frame_id)}", file=sys.stderr)
+
+    # ---------------- data source ----------------
+    cam = cfg.depth_camera
+    gt_provider = None
+    gt_path = args.groundtruth or (cfg.io.traj_read_filename or None)
+
+    if args.synthetic:
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = [np.asarray(initial_pose(cfg))]
+        c = cfg.volume.size_m / 2
+        radius = c + cfg.preprocess.min_trunc_m
+        for i in range(1, args.synthetic):
+            ang = 0.005 * i
+            poses.append(
+                syn.look_at(
+                    np.array([c + radius * np.sin(ang), c, c - radius * np.cos(ang)]),
+                    np.array([c, c, c]),
+                )
+            )
+        render = jax.jit(lambda p: syn.render_depth(p, cam, scene))
+        render_rgb = jax.jit(lambda p: syn.render_rgb(p, cam, scene))
+
+        def frames():
+            for i, p in enumerate(poses):
+                pj = jnp.asarray(p, jnp.float32)
+                rgb = render_rgb(pj) if cfg.switches.use_color else None
+                yield i, 1000.0 + i / 30.0, render(pj), rgb, p
+    else:
+        if not args.dataset:
+            print("need --dataset, --synthetic, or io config", file=sys.stderr)
+            return 2
+        ds = tum.TumDataset(
+            args.dataset, with_rgb=cfg.switches.use_color,
+            depth_factor=args.depth_factor, target_size=(cam.width, cam.height),
+        )
+        if mode == "file":
+            if not gt_path:
+                gt_path = os.path.join(args.dataset, "groundtruth.txt")
+            gt_provider = tum.GroundTruthPoseProvider(gt_path, initial_pose(cfg))
+
+        def frames():
+            for fr in ds:
+                ext = (
+                    gt_provider.pose_at(fr.timestamp, fr.index)
+                    if gt_provider is not None
+                    else None
+                )
+                yield fr.index, fr.timestamp, jnp.asarray(fr.depth_m), (
+                    jnp.asarray(fr.rgb) if fr.rgb is not None else None
+                ), ext
+
+    # ---------------- frame loop ----------------
+    logger = RunLogger(jsonl_path=args.log_jsonl)
+    kfman = KeyframeManager()
+    traj = tum.TrajectoryWriter(args.traj_out) if args.traj_out else None
+    estimated = []
+    n_done = 0
+    t_start = time.perf_counter()
+    try:
+        for frame_id, ts, depth, rgb, ext_pose in frames():
+            if args.max_frames and n_done >= args.max_frames:
+                break
+            timer = StageTimer()
+            with timer.stage("step"):
+                diag = engine.step(depth, rgb=rgb, ext_pose=ext_pose)
+                pose_np = np.asarray(diag.pose)  # sync point
+            ok = bool(diag.tracking_ok)
+            if ok:
+                kfman.maybe_add(frame_id, ts, pose_np,
+                                depth_m=np.asarray(depth) if frame_id % kfman.interval == 0 else None,
+                                rgb=None if rgb is None else np.asarray(rgb))
+                if traj:
+                    traj.record(pose_np, ts)
+                estimated.append((ts, pose_np))
+            fl = FrameLog(
+                frame_id=frame_id, timestamp=ts, tracking_ok=ok,
+                tracker_residual=float(diag.tracker_residual),
+                tracker_corr=int(diag.tracker_corr),
+                integrated_voxels=int(diag.integrated_voxels),
+                lost_count=int(engine.state.lost_count),
+                stages_ms=timer.ms,
+            )
+            logger.log(fl)
+            if args.debug_dir and frame_id % args.debug_every == 0:
+                viewer.dump_frame_debug(
+                    args.debug_dir, frame_id,
+                    depth=np.asarray(depth),
+                    model_normals=np.asarray(engine.state.model_normals),
+                    model_color=np.asarray(engine.state.model_color)
+                    if cfg.switches.use_color else None,
+                )
+            n_done += 1
+    finally:
+        if traj:
+            traj.close()
+
+    dt = time.perf_counter() - t_start
+    print(f"{n_done} frames in {dt:.1f}s ({n_done/max(dt,1e-9):.2f} fps), "
+          f"lost {int(engine.state.lost_count)}", file=sys.stderr)
+
+    # ---------------- outputs ----------------
+    if args.keyframe_dir and len(kfman):
+        kfman.write_to_dir(args.keyframe_dir)
+        print(f"wrote {len(kfman)} keyframes to {args.keyframe_dir}", file=sys.stderr)
+
+    if args.checkpoint:
+        from tsdfjax.checkpoint import save_state
+
+        save_state(args.checkpoint, engine.state, cfg)
+        print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
+
+    mesh_path = args.mesh_out or (cfg.io.mesh_filename if args.config else None)
+    if mesh_path:
+        from tsdfjax import mesh as M
+
+        t0 = time.perf_counter()
+        mesh = M.extract_mesh(
+            engine.state.volume, cfg.volume,
+            max_triangles=cfg.marching_cubes.max_triangles,
+            with_color=cfg.switches.use_color,
+        )
+        M.save_mesh(mesh, mesh_path)
+        print(f"mesh: {mesh.num_vertices} verts / {mesh.num_faces} faces -> "
+              f"{mesh_path} ({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+
+    if gt_path and estimated and mode != "file" and os.path.exists(gt_path):
+        gt = tum.read_trajectory(gt_path)
+        try:
+            rmse = tum.ate_rmse(estimated, gt)
+            print(f"ATE RMSE vs {gt_path}: {rmse*100:.2f} cm", file=sys.stderr)
+        except ValueError as e:
+            print(f"ATE evaluation failed: {e}", file=sys.stderr)
+
+    logger.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -158,6 +158,39 @@ def resample_slice(
     )
 
 
+def _interp_matrix_b(positions: Array, n_src: int, mode: str) -> Array:
+    """Batched _interp_matrix: positions (B, n_out) -> (B, n_out, n_src)."""
+    b, n_out = positions.shape
+    src = jax.lax.broadcasted_iota(jnp.float32, (b, n_out, n_src), 2)
+    d = src - positions[..., None]
+    if mode == "nearest":
+        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def resample_slices_batched(
+    src: Array, rows_pos: Array, cols_pos: Array, mode: str
+) -> Array:
+    """Shared-source batched resample: src (C, H, W), rows_pos (B, n_i),
+    cols_pos (B, n_j) -> (B, C, n_i, n_j). Used to process several sweep
+    slices per scan step (fewer sequential steps, fatter matmuls)."""
+    mi = _interp_matrix_b(rows_pos, src.shape[1], mode)  # (B, n_i, H)
+    mj = _interp_matrix_b(cols_pos, src.shape[2], mode)  # (B, n_j, W)
+    tmp = jnp.einsum("bih,chw->bciw", mi, src, preferred_element_type=jnp.float32)
+    return jnp.einsum("bjw,bciw->bcij", mj, tmp, preferred_element_type=jnp.float32)
+
+
+def resample_slices_batched_src(
+    src: Array, rows_pos: Array, cols_pos: Array, mode: str
+) -> Array:
+    """Per-slice-source batched resample: src (B, C, H, W), rows_pos
+    (B, n_i), cols_pos (B, n_j) -> (B, C, n_i, n_j)."""
+    mi = _interp_matrix_b(rows_pos, src.shape[2], mode)
+    mj = _interp_matrix_b(cols_pos, src.shape[3], mode)
+    tmp = jnp.einsum("bih,bchw->bciw", mi, src, preferred_element_type=jnp.float32)
+    return jnp.einsum("bjw,bciw->bcij", mj, tmp, preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # image -> volume projection (the integrate direction)
 # ---------------------------------------------------------------------------
@@ -258,22 +291,24 @@ def project_image_to_volume(
 
     ii = jnp.arange(res, dtype=jnp.float32)
     jj = jnp.arange(res, dtype=jnp.float32)
+    bsz = 4 if res % 4 == 0 else 1  # slices per scan step
 
-    def body(carry, k):
-        gamma = k.astype(jnp.float32) + geom.kappa
+    def body(carry, kb):
+        gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
         usable = jnp.abs(gamma) >= 1.0
         gsafe = jnp.where(usable, gamma, 1.0)
-        q1 = (ii + geom.alpha) / gsafe  # (R,)
-        q2 = (jj + geom.beta) / gsafe
+        q1 = (ii[None, :] + geom.alpha) / gsafe[:, None]  # (B, R)
+        q2 = (jj[None, :] + geom.beta) / gsafe[:, None]
         rows = (q1 - q1_0) * q1_s
         cols = (q2 - q2_0) * q2_s
-        out = resample_slice(warped, rows, cols, mode)
-        out = jnp.where(usable, out, 0.0)
+        out = resample_slices_batched(warped, rows, cols, mode)  # (B, C, R, R)
+        out = jnp.where(usable[:, None, None, None], out, 0.0)
         return carry, out
 
-    _, vol = jax.lax.scan(body, jnp.array(0), jnp.arange(res), unroll=1)
-    # vol: (R, C, R, R) -> (C, R, R, R)
-    return jnp.moveaxis(vol, 1, 0)
+    ks = jnp.arange(res).reshape(res // bsz, bsz)
+    _, vol = jax.lax.scan(body, jnp.array(0), ks, unroll=1)
+    # vol: (R/B, B, C, R, R) -> (C, R, R, R)
+    return jnp.moveaxis(vol.reshape(res, -1, res, res), 1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -498,15 +533,23 @@ def _raycast_axis(
     vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
     n_ch = vol_ch.shape[0]
 
-    def sample_k(k):
-        gamma = k.astype(jnp.float32) + geom.kappa
+    # bsz=1: batching slices here regresses (the (B,C,Qh,R) intermediate
+    # overflows VMEM and spills); integrate's smaller tiles do benefit
+    bsz = 1
+
+    def sample_block(k0):
+        """Resample slices k0..k0+B-1 in one batched pair of matmuls."""
+        kb = k0 + jnp.arange(bsz)
+        gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
         usable = jnp.abs(gamma) >= 1e-3
         gsafe = jnp.where(usable, gamma, 1.0)
-        rows = q1 * gsafe - geom.alpha  # slice i positions (Qh,)
-        cols = q2 * gsafe - geom.beta  # slice j positions (Qw,)
-        slice_ch = jax.lax.dynamic_index_in_dim(vol_ch, k, axis=1, keepdims=False)
-        out = resample_slice(slice_ch, rows, cols, "linear")  # (C, Qh, Qw)
-        return jnp.where(usable, out, 0.0), gamma
+        rows = q1[None, :] * gsafe[:, None] - geom.alpha  # (B, Qh)
+        cols = q2[None, :] * gsafe[:, None] - geom.beta  # (B, Qw)
+        src = jax.lax.dynamic_slice_in_dim(vol_ch, k0, bsz, axis=1)  # (C,B,R,R)
+        src = jnp.swapaxes(src, 0, 1)  # (B, C, R, R)
+        out = resample_slices_batched_src(src, rows, cols, "linear")
+        out = jnp.where(usable[:, None, None, None], out, 0.0)
+        return out, gamma
 
     zero_q = jnp.zeros((qh, qw), jnp.float32)
     init = dict(
@@ -519,8 +562,7 @@ def _raycast_axis(
         ch_star=jnp.zeros((n_ch, qh, qw), jnp.float32),
     )
 
-    def body(st, k):
-        cur, gamma = sample_k(k)
+    def composite_step(st, cur, k, gamma):
         f_cur = cur[0]
         f_prev = st["prev"][0]
         z_cur = gamma * w2q
@@ -564,9 +606,15 @@ def _raycast_axis(
             k_star=jnp.where(accept, k_star_new, st["k_star"]),
             ch_star=jnp.where(accept[None], ch_star_new, st["ch_star"]),
         )
-        return st_new, None
+        return st_new
 
-    st, _ = jax.lax.scan(body, init, jnp.arange(res), unroll=1)
+    def body(st, k0):
+        block, gammas = sample_block(k0)
+        for b in range(bsz):
+            st = composite_step(st, block[b], k0 + b, gammas[b])
+        return st, None
+
+    st, _ = jax.lax.scan(body, init, jnp.arange(0, res, bsz), unroll=1)
 
     hit = st["hit"] & st["out_ok"]
     k_star = st["k_star"]

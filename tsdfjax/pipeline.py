@@ -33,7 +33,7 @@ from tsdfjax import frames as F
 from tsdfjax import volume as V
 from tsdfjax import raycast as R
 from tsdfjax.trackers.icp import icp_track
-from tsdfjax.trackers.sdf import sdf_track
+from tsdfjax.trackers.sdf import sdf_track, sdf_track_fast
 from tsdfjax.ops.sweep import fast_integrate, fast_raycast
 
 Array = jnp.ndarray
@@ -109,7 +109,8 @@ def _track(cfg: AppConfig, mode: str, state: FusionState, trunced, verts, normal
     if mode == "sdf":
 
         def run(_):
-            res = sdf_track(
+            track = sdf_track_fast if cfg.fast_ops else sdf_track
+            res = track(
                 state.volume, trunced, state.pose, cfg.depth_camera,
                 cfg.volume, cfg.sdf_tracker,
             )

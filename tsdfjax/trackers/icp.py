@@ -78,8 +78,11 @@ def icp_rows(
     in_img = (u >= 0) & (u < w) & (vv >= 0) & (vv < h)
 
     flat = jnp.clip(vv, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
-    p = model_v.reshape(-1, 3)[flat]  # target vertex, world
-    n_t = model_n.reshape(-1, 3)[flat]  # target normal, world
+    # single packed 6-wide gather: TPU gather cost is per-index, so one
+    # (vertex|normal) slice fetch halves the association cost
+    packed = jnp.concatenate([model_v, model_n], axis=-1).reshape(-1, 6)[flat]
+    p = packed[..., 0:3]  # target vertex, world
+    n_t = packed[..., 3:6]  # target normal, world
 
     input_valid = jnp.any(new_n != 0.0, axis=-1)
     target_valid = jnp.any(n_t != 0.0, axis=-1)

@@ -190,3 +190,185 @@ def sdf_track(
     )
     cur, ok, _, residual, n_val = jax.lax.fori_loop(0, cfg.max_iters, body, init)
     return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
+
+
+# ---------------------------------------------------------------------------
+# fast path: analytic gradient + packed per-pixel sampling
+# ---------------------------------------------------------------------------
+
+
+def _central_diff(x: Array, axis: int) -> Array:
+    fwd = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
+         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)],
+        axis=axis,
+    )
+    bwd = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    return fwd - bwd
+
+
+def _erode_box(v: Array, r: int) -> Array:
+    """min over the (2r+1)^3 box (edge-replicated): a conservative stand-in
+    for 'every one of the 13 perturbed trilinear samples is observed'."""
+    out = v
+    for axis in range(3):
+        acc = out
+        for s in range(1, r + 1):
+            n = out.shape[axis]
+            up = jnp.concatenate(
+                [jax.lax.slice_in_dim(out, s, n, axis=axis),
+                 jnp.repeat(jax.lax.slice_in_dim(out, n - 1, n, axis=axis), s, axis=axis)],
+                axis=axis,
+            )
+            dn = jnp.concatenate(
+                [jnp.repeat(jax.lax.slice_in_dim(out, 0, 1, axis=axis), s, axis=axis),
+                 jax.lax.slice_in_dim(out, 0, n - s, axis=axis)],
+                axis=axis,
+            )
+            acc = jnp.minimum(acc, jnp.minimum(up, dn))
+        out = acc
+    return out
+
+
+def sdf_precompute_fields(volume: TsdfVolume, vol_cfg: VolumeConfig) -> Array:
+    """(R, R, R, 5) packed [tsdf, d/dx, d/dy, d/dz, eroded-validity] —
+    computed once per tracking call (pure shifts, memory-bound)."""
+    cell = vol_cfg.voxel_size_m
+    g = 1.0 / (2.0 * cell)
+    # raw observed mask: its trilinear interpolation > 0.999 at a point is
+    # exactly the reference's all-8-corners-observed rule for that point
+    # (the numeric path additionally requires the 12 perturbed samples
+    # valid; eroding here over-rejects the thin band behind surfaces and
+    # destabilizes the solve, so the analytic path keeps the base rule)
+    valid = (volume.weight > 0).astype(jnp.float32)
+    return jnp.stack(
+        [
+            volume.tsdf,
+            _central_diff(volume.tsdf, 0) * g,
+            _central_diff(volume.tsdf, 1) * g,
+            _central_diff(volume.tsdf, 2) * g,
+            valid,
+        ],
+        axis=-1,
+    )
+
+
+def _sample_packed(fields: Array, pos: Array, vol_cfg: VolumeConfig) -> tuple[Array, Array]:
+    """Trilinear sample of the packed (R,R,R,C) fields at world pos
+    (...,3) -> ((...,C), valid). One 8-corner gather of C-wide slices."""
+    from tsdfjax.volume import _interp_setup
+
+    res = vol_cfg.resolution
+    c = fields.shape[-1]
+    flat_fields = fields.reshape(-1, c)
+    base, frac, in_bounds = _interp_setup(pos, vol_cfg)
+    bx, by, bz = base[..., 0], base[..., 1], base[..., 2]
+    a, b, cc = frac[..., 0], frac[..., 1], frac[..., 2]
+    out = None
+    for dx in (0, 1):
+        wx = (1.0 - a) if dx == 0 else a
+        for dy in (0, 1):
+            wy = (1.0 - b) if dy == 0 else b
+            for dz in (0, 1):
+                wz = (1.0 - cc) if dz == 0 else cc
+                ix = jnp.clip(bx + dx, 0, res - 1)
+                iy = jnp.clip(by + dy, 0, res - 1)
+                iz = jnp.clip(bz + dz, 0, res - 1)
+                f = flat_fields[(ix * res + iy) * res + iz]
+                term = f * (wx * wy * wz)[..., None]
+                out = term if out is None else out + term
+    valid = in_bounds & (out[..., 4] > 0.999)
+    return out, valid
+
+
+def sdf_rows_fast(
+    fields: Array,
+    trunced_depth: Array,
+    cam: CameraIntrinsics,
+    cur_transform: Array,
+    vol_cfg: VolumeConfig,
+) -> tuple[Array, Array]:
+    """Analytic-gradient rows: dψ/dω_i = ∇ψ(p) · (G_i p), dψ/dv = ∇ψ(p)
+    — the first-order limit of the reference's 13-sample numeric scheme
+    (h → 0 of CalSDFErrSolverParams.cu:59-65)."""
+    from tsdfjax.frames import depth_to_vertices
+
+    pts = depth_to_vertices(trunced_depth, cam)
+    px_valid = trunced_depth > 0
+    p = transform_points(cur_transform, pts)
+    s, ok = _sample_packed(fields, p, vol_cfg)
+    valid = px_valid & ok
+    sdf0, gx, gy, gz = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
+    px_, py_, pz_ = p[..., 0], p[..., 1], p[..., 2]
+    rows = jnp.stack(
+        [
+            -gy * pz_ + gz * py_,  # ∇ψ·(G1 p)
+            gx * pz_ - gz * px_,  # ∇ψ·(G2 p)
+            -gx * py_ + gy * px_,  # ∇ψ·(G3 p)
+            gx, gy, gz,
+            sdf0,
+        ],
+        axis=-1,
+    )
+    return jnp.where(valid[..., None], rows, 0.0), valid
+
+
+def sdf_track_fast(
+    volume: TsdfVolume,
+    trunced_depth: Array,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    cfg: SdfTrackerConfig,
+    reduce_fn=None,
+) -> SdfResult:
+    """Fast GN loop: the packed field volume is built once (the volume is
+    constant during tracking); each iteration costs ONE trilinear packed
+    sample per pixel instead of the reference's 13 full samples."""
+    if reduce_fn is None:
+        reduce_fn = lambda a: a
+    fields = sdf_precompute_fields(volume, vol_cfg)
+
+    def body(_, carry):
+        cur, ok, done, residual, n_val = carry
+        rows, valid = sdf_rows_fast(fields, trunced_depth, cam, cur, vol_cfg)
+        r = rows.reshape(-1, 7)
+        a7 = reduce_fn(
+            jnp.dot(r.T, r, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        )
+        a = a7[:6, :6]
+        b = a7[:6, 6]
+        factor = jax.scipy.linalg.cho_factor(a + jnp.eye(6, dtype=jnp.float32) * 1e-20)
+        x = jax.scipy.linalg.cho_solve(factor, b)
+        _, angle, dist = delta_pose_from_6dof(x)
+        finite = jnp.all(jnp.isfinite(x))
+        shake = (angle > cfg.angle_shake_rad) | (dist > cfg.dist_shake_m) | ~finite
+        active = ok & ~done
+        ok = ok & (~active | ~shake)
+        converged = jnp.linalg.norm(x) < cfg.convergence_eps
+        done = done | (active & converged)
+        aff = exp_se3(x)
+        r_exp_t = aff[:3, :3].T
+        t_upd = se3_from_rt(r_exp_t @ cur[:3, :3], cur[:3, 3] - r_exp_t @ aff[:3, 3])
+        apply = active & ~shake & ~converged
+        cur = jnp.where(apply, t_upd, cur)
+        nv = reduce_fn(jnp.sum(valid.astype(jnp.int32)))
+        res = reduce_fn(jnp.sum(jnp.abs(rows[..., 6]))) / jnp.maximum(
+            nv.astype(jnp.float32), 1.0
+        )
+        return cur, ok, done, res, nv
+
+    init = (
+        pose,
+        jnp.array(True),
+        jnp.array(False),
+        jnp.array(0.0, jnp.float32),
+        jnp.array(0, jnp.int32),
+    )
+    cur, ok, _, residual, n_val = jax.lax.fori_loop(0, cfg.max_iters, body, init)
+    return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
