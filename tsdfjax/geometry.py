@@ -175,7 +175,7 @@ def _msinc(x: Array) -> Array:
 def axis_angle_to_rotation(u: Array) -> Array:
     """Rodrigues' formula, branchless (reference UThetaToAffine3d,
     eigen_utils.cpp:60-82)."""
-    theta = jnp.sqrt(jnp.sum(u * u))
+    theta = jnp.sqrt(jnp.sum(u * u) + 1e-24)  # +eps: finite grad at u=0 (pose-graph AD)
     co = jnp.cos(theta)
     sinc = _sinc(theta)
     mcosc = _mcosc(theta)
@@ -201,7 +201,7 @@ def exp_se3(twist: Array) -> Array:
     u = twist[:3]
     vt = twist[3:]
     r = axis_angle_to_rotation(u)
-    theta = jnp.sqrt(jnp.sum(u * u))
+    theta = jnp.sqrt(jnp.sum(u * u) + 1e-24)  # +eps: finite grad at u=0 (pose-graph AD)
     sinc = _sinc(theta)
     mcosc = _mcosc(theta)
     msinc = _msinc(theta)
@@ -215,6 +215,45 @@ def exp_se3(twist: Array) -> Array:
         dtype=jnp.float32,
     )
     return se3_from_rt(r, jac @ vt)
+
+
+def log_so3(r: Array) -> Array:
+    """Rotation matrix -> axis-angle vector (inverse of
+    axis_angle_to_rotation).
+
+    Autodiff-safe at the identity (pose-graph residuals are
+    differentiated exactly there): angle comes from atan2 of the skew
+    norm (safe sqrt) and trace instead of arccos, whose derivative blows
+    up at +-1. Ill-conditioned only near angle = pi.
+    """
+    w = jnp.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]], jnp.float32
+    )
+    s = jnp.sqrt(jnp.sum(w * w) + 1e-24)  # = 2 sin(angle), AD-safe
+    c = jnp.trace(r) - 1.0  # = 2 cos(angle)
+    angle = jnp.arctan2(s, c)
+    # axis*angle = w * angle / (2 sin angle); limit at 0 is w/2
+    return w * (angle / s)
+
+
+def log_se3(t_mat: Array) -> Array:
+    """4x4 rigid transform -> 6-twist [w | v], inverse of exp_se3."""
+    w = log_so3(t_mat[:3, :3])
+    theta = jnp.sqrt(jnp.sum(w * w) + 1e-24)
+    sinc = _sinc(theta)
+    mcosc = _mcosc(theta)
+    msinc = _msinc(theta)
+    ux, uy, uz = w[0], w[1], w[2]
+    jac = jnp.array(
+        [
+            [sinc + ux * ux * msinc, ux * uy * msinc - uz * mcosc, ux * uz * msinc + uy * mcosc],
+            [ux * uy * msinc + uz * mcosc, sinc + uy * uy * msinc, uy * uz * msinc - ux * mcosc],
+            [ux * uz * msinc - uy * mcosc, uy * uz * msinc + ux * mcosc, sinc + uz * uz * msinc],
+        ],
+        jnp.float32,
+    )
+    v = jnp.linalg.solve(jac, t_mat[:3, 3])
+    return jnp.concatenate([w, v])
 
 
 def euler_xyz_to_rotation(angles: Array) -> Array:

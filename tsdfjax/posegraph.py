@@ -1,0 +1,176 @@
+"""Lightweight pose graph over keyframes for drift correction.
+
+The reference has NO drift handling (no loop closure, no relocalization;
+on failure it blocks on a keypress). BASELINE.md's north star adds "a
+lightweight keyframe manager plus pose-graph over keyframes handles
+drift" — this module provides it:
+
+  - nodes: keyframe camera-to-world poses
+  - edges: relative SE(3) constraints T_ij (measured i->j) with weights;
+    built from the tracked odometry chain and from keyframe-to-keyframe
+    point-to-plane ICP (loop closures between spatially близ — nearby —
+    keyframes), reusing the tracker's fused association/row machinery
+  - optimization: Gauss-Newton on the stacked se(3) perturbations with
+    jax autodiff jacobians; node 0 is gauged (fixed). Keyframe counts
+    are <= 50 (keyframeMan.h:74), so the dense 6N solve is trivial.
+
+After optimization, `correction_for(node)` gives the world-frame fixup
+to apply to the live pose (the drift estimate at that keyframe).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsdfjax.geometry import exp_se3, log_se3, se3_inverse
+
+Array = jnp.ndarray
+
+
+@dataclass
+class PoseGraph:
+    poses: list = field(default_factory=list)  # list of (4,4) np arrays
+    edges: list = field(default_factory=list)  # (i, j, T_ij (4,4), weight)
+
+    def add_node(self, pose) -> int:
+        self.poses.append(np.asarray(pose, np.float32).copy())
+        return len(self.poses) - 1
+
+    def add_edge(self, i: int, j: int, t_ij, weight: float = 1.0) -> None:
+        """T_ij = measured relative transform with T_j ≈ T_i @ T_ij."""
+        self.edges.append((i, j, np.asarray(t_ij, np.float32).copy(), float(weight)))
+
+    def add_odometry_edge(self, i: int, j: int, weight: float = 1.0) -> None:
+        t_ij = np.linalg.inv(self.poses[i]) @ self.poses[j]
+        self.add_edge(i, j, t_ij, weight)
+
+    # ------------------------------------------------------------------
+
+    def optimize(self, iters: int = 10, damping: float = 1e-6) -> list[np.ndarray]:
+        """Gauss-Newton over left-multiplied se(3) perturbations; returns
+        optimized poses (node 0 fixed)."""
+        n = len(self.poses)
+        if n < 2 or not self.edges:
+            return [p.copy() for p in self.poses]
+        poses0 = jnp.asarray(np.stack(self.poses))
+        eidx_i = jnp.asarray([e[0] for e in self.edges], jnp.int32)
+        eidx_j = jnp.asarray([e[1] for e in self.edges], jnp.int32)
+        t_meas_inv = jnp.asarray(
+            np.stack([np.linalg.inv(e[2]) for e in self.edges])
+        )
+        weights = jnp.asarray([np.sqrt(e[3]) for e in self.edges], jnp.float32)
+
+        def apply_xi(xi_all, poses):
+            # node 0 gauge-fixed: its perturbation stays zero
+            xi_all = xi_all.reshape(n, 6).at[0].set(0.0)
+            return jax.vmap(lambda xi, t: exp_se3(xi) @ t)(xi_all, poses)
+
+        def residuals(xi_all, poses):
+            t = apply_xi(xi_all, poses)
+            ti = t[eidx_i]
+            tj = t[eidx_j]
+
+            def edge_res(ti, tj, tmi, w):
+                err = se3_inverse(ti) @ tj @ tmi  # ≈ I when satisfied
+                return w * log_se3(err)
+
+            r = jax.vmap(edge_res)(ti, tj, t_meas_inv, weights)
+            return r.reshape(-1)
+
+        jac_fn = jax.jacfwd(residuals)
+
+        @jax.jit
+        def gn_step(poses):
+            xi0 = jnp.zeros(n * 6, jnp.float32)
+            r = residuals(xi0, poses)
+            jmat = jac_fn(xi0, poses)
+            a = jmat.T @ jmat + damping * jnp.eye(n * 6, dtype=jnp.float32)
+            b = -(jmat.T @ r)
+            xi = jnp.linalg.solve(a, b)
+            return apply_xi(xi, poses), jnp.sum(r * r)
+
+        poses = poses0
+        for _ in range(iters):
+            poses, err = gn_step(poses)
+        return [np.asarray(p) for p in poses]
+
+    def total_error(self) -> float:
+        err = 0.0
+        for i, j, t_ij, w in self.edges:
+            e = np.linalg.inv(self.poses[i] @ t_ij) @ self.poses[j]
+            import jax.numpy as jnp_
+
+            err += w * float(np.sum(np.asarray(log_se3(jnp_.asarray(e))) ** 2))
+        return err
+
+
+def icp_relative_pose(
+    kf_a, kf_b, cam, icp_cfg, preprocess_cfg
+) -> tuple[np.ndarray, bool]:
+    """Point-to-plane ICP between two keyframes' stored depth maps:
+    returns (T_ab, ok) with pose_b ≈ pose_a @ T_ab. Reuses the tracker's
+    fused row kernel with keyframe A's maps (in A's world) as the model."""
+    import jax.numpy as jnp_
+
+    from tsdfjax import frames as F
+    from tsdfjax.geometry import transform_points, rotate_vectors
+    from tsdfjax.trackers.icp import icp_track
+
+    def maps_of(kf):
+        d = jnp_.asarray(kf.depth_m)
+        tr = F.truncate_depth(d, preprocess_cfg.min_trunc_m, preprocess_cfg.max_trunc_m)
+        fi = F.bilateral_filter(tr, preprocess_cfg.sigma_pixel, preprocess_cfg.sigma_depth)
+        v = F.depth_to_vertices(fi, cam)
+        nrm = F.vertices_to_normals(v)
+        return v, nrm
+
+    va, na = maps_of(kf_a)
+    vb, nb = maps_of(kf_b)
+    pose_a = jnp_.asarray(kf_a.pose)
+    # model maps live in world coords in the tracker; put A's maps there
+    mv = transform_points(pose_a, va)
+    mv = jnp_.where(jnp_.any(va != 0, axis=-1, keepdims=True), mv, 0.0)
+    mn = rotate_vectors(pose_a, na)
+
+    levels = icp_cfg.pyramid_levels
+    nvp = F.build_pyramid(vb, levels, F.downsample_vertices)
+    nnp = F.build_pyramid(nb, levels, F.downsample_normals)
+    mvp = F.build_pyramid(mv, levels, F.downsample_vertices)
+    mnp = F.build_pyramid(mn, levels, F.downsample_normals)
+    init_pose = jnp_.asarray(kf_b.pose)
+    res = icp_track(nvp, nnp, mvp, mnp, init_pose, cam, icp_cfg)
+    t_ab = np.linalg.inv(kf_a.pose) @ np.asarray(res.pose)
+    return t_ab.astype(np.float32), bool(res.ok)
+
+
+def build_keyframe_graph(
+    keyframes,
+    cam,
+    icp_cfg,
+    preprocess_cfg,
+    loop_radius_m: float = 1.0,
+    min_gap: int = 2,
+) -> PoseGraph:
+    """Odometry chain + ICP loop closures between non-adjacent keyframes
+    whose camera centers are within loop_radius_m."""
+    kfs = list(keyframes)
+    g = PoseGraph()
+    for kf in kfs:
+        g.add_node(kf.pose)
+    for k in range(len(kfs) - 1):
+        g.add_odometry_edge(k, k + 1, weight=1.0)
+    for a in range(len(kfs)):
+        for b in range(a + min_gap, len(kfs)):
+            if kfs[a].depth_m is None or kfs[b].depth_m is None:
+                continue
+            d = np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3])
+            if d > loop_radius_m:
+                continue
+            t_ab, ok = icp_relative_pose(kfs[a], kfs[b], cam, icp_cfg, preprocess_cfg)
+            if ok:
+                g.add_edge(a, b, t_ab, weight=2.0)
+    return g
