@@ -125,3 +125,53 @@ class TestMeshIO:
         np.testing.assert_array_equal(back.faces, mesh.faces)
         if ext == "ply":
             np.testing.assert_allclose(back.colors, mesh.colors, atol=1.0)
+
+
+class TestNativeMeshOps:
+    def test_native_matches_numpy(self):
+        """Native C++ weld/normals must agree with the NumPy fallback."""
+        import tsdfjax.native as native
+        from tsdfjax import mesh as MM
+
+        if native.get_lib() is None:
+            pytest.skip("no native toolchain")
+        vol = sphere_volume()
+        buffers = MM.marching_cubes(vol, VCFG, max_triangles=100_000)
+        n = int(buffers.count)
+        soup = np.asarray(buffers.vertices[:n]).reshape(-1, 3)
+        m_nat = MM.weld_mesh(soup, None, 1e-4)
+        # force fallback
+        lib, tried = native._LIB, native._TRIED
+        try:
+            native._LIB, native._TRIED = None, True
+            m_np = MM.weld_mesh(soup, None, 1e-4)
+        finally:
+            native._LIB, native._TRIED = lib, tried
+        assert m_nat.num_vertices == m_np.num_vertices
+        assert m_nat.num_faces == m_np.num_faces
+        # normals parity
+        MM.compute_vertex_normals(m_nat)
+        nat_normals = m_nat.normals.copy()
+        try:
+            native._LIB, native._TRIED = None, True
+            MM.compute_vertex_normals(m_nat)
+        finally:
+            native._LIB, native._TRIED = lib, tried
+        # same vertex order is not guaranteed between weld impls, but we
+        # computed both on the SAME mesh here
+        np.testing.assert_allclose(nat_normals, m_nat.normals, atol=1e-4)
+
+    def test_native_obj_roundtrip(self, tmp_path):
+        import tsdfjax.native as native
+        from tsdfjax import mesh as MM
+
+        if native.get_lib() is None:
+            pytest.skip("no native toolchain")
+        vol = sphere_volume()
+        m = MM.extract_mesh(vol, VCFG, max_triangles=50_000, with_color=True)
+        path = str(tmp_path / "nat.obj")
+        MM.save_mesh(m, path)  # uses the native writer
+        back = MM.load_mesh(path)
+        assert back.num_vertices == m.num_vertices
+        assert back.num_faces == m.num_faces
+        np.testing.assert_allclose(back.vertices, m.vertices, atol=1e-4)
