@@ -204,13 +204,17 @@ class ShardedFusion:
                 nsh = self.n
                 for level in range(levels - 1, -1, -1):
                     cam_l = cfg.depth_camera.level(level)
+                    nv_lvl, nn_lvl = nv[level], nn[level]
+                    if level == 0 and cfg.icp.source_subsample > 1:
+                        ss = cfg.icp.source_subsample
+                        nv_lvl, nn_lvl = nv_lvl[::ss, ::ss], nn_lvl[::ss, ::ss]
                     # exact row partition: pad to a multiple of the mesh
                     # size with invalid rows (zero contributions), so no
                     # shard double-counts when height % n != 0
-                    band = -(-cam_l.height // nsh)
-                    pad = band * nsh - cam_l.height
-                    nv_p = jnp.pad(nv[level], ((0, pad), (0, 0), (0, 0)))
-                    nn_p = jnp.pad(nn[level], ((0, pad), (0, 0), (0, 0)))
+                    band = -(-nv_lvl.shape[0] // nsh)
+                    pad = band * nsh - nv_lvl.shape[0]
+                    nv_p = jnp.pad(nv_lvl, ((0, pad), (0, 0), (0, 0)))
+                    nn_p = jnp.pad(nn_lvl, ((0, pad), (0, 0), (0, 0)))
                     r0 = idx * band
                     nv_l = jax.lax.dynamic_slice_in_dim(nv_p, r0, band, 0)
                     nn_l = jax.lax.dynamic_slice_in_dim(nn_p, r0, band, 0)

@@ -169,6 +169,9 @@ def icp_track(
         cam_l = cam.level(level)
         nv, nn = new_v_pyr[level], new_n_pyr[level]
         mv, mn = model_v_pyr[level], model_n_pyr[level]
+        if level == 0 and cfg.source_subsample > 1:
+            s = cfg.source_subsample
+            nv, nn = nv[::s, ::s], nn[::s, ::s]
 
         def body(_, carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_l=cam_l):
             cur, ok, residual, num_corr = carry
