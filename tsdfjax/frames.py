@@ -120,36 +120,47 @@ def vertices_to_normals(vertices: Array) -> Array:
     return jnp.where(valid[..., None], n, 0.0)
 
 
-def _blocks2x2(x: Array) -> tuple[Array, Array, Array, Array]:
-    p00 = x[0::2, 0::2]
-    p01 = x[0::2, 1::2]
-    p10 = x[1::2, 0::2]
-    p11 = x[1::2, 1::2]
-    return p00, p01, p10, p11
+def _sum2x2(x: Array) -> Array:
+    """2x2/stride-2 window sum. reduce_window hits the TPU's optimized
+    pooling path; the naive four stride-2 slices cost ~14x more HBM time
+    (strided slicing defeats the (8,128) tiling)."""
+    win = (2, 2) + (1,) * (x.ndim - 2)
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, win, win, "VALID")
+
+
+def _all2x2(valid: Array) -> Array:
+    """True where all 4 source pixels of the 2x2 block are True."""
+    f = jax.lax.reduce_window(
+        valid.astype(jnp.float32), 1.0, jax.lax.min, (2, 2), (2, 2), "VALID"
+    )
+    return f > 0.0
+
+
+def subsample_pick(x: Array, s: int) -> Array:
+    """x[::s, ::s] without strided slicing: reshape into s-blocks and pick
+    the (0,0) element (fast path for the ICP source subsample)."""
+    if s == 1:
+        return x
+    h, w = x.shape[:2]
+    r = x.reshape((h // s, s, w // s, s) + x.shape[2:])
+    return r[:, 0, :, 0]
 
 
 def downsample_vertices(vertices: Array) -> Array:
     """2x2 average; invalid if any of the 4 source vertices invalid
     (sample.cu:37-60)."""
-    p00, p01, p10, p11 = _blocks2x2(vertices)
-    mean = (p00 + p01 + p10 + p11) * 0.25
-    valid = (p00[..., 2] != 0) & (p01[..., 2] != 0) & (p10[..., 2] != 0) & (p11[..., 2] != 0)
+    mean = _sum2x2(vertices) * 0.25
+    valid = _all2x2(vertices[..., 2] != 0)
     return jnp.where(valid[..., None], mean, 0.0)
 
 
 def downsample_normals(normals: Array) -> Array:
     """2x2 average then renormalize; invalid if any source normal is the
     zero vector (sample.cu:16-35)."""
-    p00, p01, p10, p11 = _blocks2x2(normals)
-    mean = (p00 + p01 + p10 + p11) * 0.25
+    mean = _sum2x2(normals) * 0.25
     norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
     unit = mean / jnp.maximum(norm, 1e-30)
-
-    def is_zero(p):
-        return jnp.all(p == 0.0, axis=-1)
-
-    valid = ~(is_zero(p00) | is_zero(p01) | is_zero(p10) | is_zero(p11))
-    valid = valid & (norm[..., 0] > 0)
+    valid = _all2x2(jnp.any(normals != 0.0, axis=-1)) & (norm[..., 0] > 0)
     return jnp.where(valid[..., None], unit, 0.0)
 
 

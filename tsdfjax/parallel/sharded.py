@@ -207,7 +207,7 @@ class ShardedFusion:
                     nv_lvl, nn_lvl = nv[level], nn[level]
                     if level == 0 and cfg.icp.source_subsample > 1:
                         ss = cfg.icp.source_subsample
-                        nv_lvl, nn_lvl = nv_lvl[::ss, ::ss], nn_lvl[::ss, ::ss]
+                        nv_lvl, nn_lvl = F.subsample_pick(nv_lvl, ss), F.subsample_pick(nn_lvl, ss)
                     # exact row partition: pad to a multiple of the mesh
                     # size with invalid rows (zero contributions), so no
                     # shard double-counts when height % n != 0

@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tsdfjax import frames as F
 from tsdfjax.config import IcpConfig
 from tsdfjax.geometry import (
     CameraIntrinsics,
@@ -171,7 +172,7 @@ def icp_track(
         mv, mn = model_v_pyr[level], model_n_pyr[level]
         if level == 0 and cfg.source_subsample > 1:
             s = cfg.source_subsample
-            nv, nn = nv[::s, ::s], nn[::s, ::s]
+            nv, nn = F.subsample_pick(nv, s), F.subsample_pick(nn, s)
 
         def body(_, carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_l=cam_l):
             cur, ok, residual, num_corr = carry
