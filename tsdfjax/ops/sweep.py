@@ -361,14 +361,16 @@ def _integrate_axis(
     h, w = depth.shape
     geom = make_sweep_geom(pose, depth_cam, vol_cfg, axis)
 
-    chans = [depth, (depth > 0).astype(jnp.float32), normals[..., 2]]
+    # the normal-z channel only feeds the color angle weight — skip the
+    # whole swept channel in depth-only mode (one third of the matmuls)
+    chans = [depth, (depth > 0).astype(jnp.float32)]
     if rgb is not None:
-        chans += [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+        chans += [normals[..., 2], rgb[..., 0], rgb[..., 1], rgb[..., 2]]
     img = jnp.stack(chans, axis=0)
     volch = project_image_to_volume(img, pose, depth_cam, vol_cfg, axis, mode="nearest")
     d_vol = volch[0]
     valid_vol = volch[1] > 0.5
-    nz_vol = volch[2]
+    nz_vol = volch[2] if rgb is not None else None
 
     # camera z per voxel: affine in (k, i, j)
     ca, cb, cc, c0 = _cam_affine(geom, vol_cfg)
@@ -465,19 +467,21 @@ def fast_integrate(
 # ---------------------------------------------------------------------------
 
 
-def _shift_diff(x: Array, axis: int) -> Array:
-    """Central difference (x[i+1] - x[i-1]) with zero at the borders."""
-    fwd = jnp.concatenate(
-        [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis),
-         jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)],
-        axis=axis,
-    )
-    bwd = jnp.concatenate(
+def _shift2(x: Array, axis: int, direction: int) -> Array:
+    """x shifted by `direction` (+1 = value of the next-index neighbor)
+    along `axis` with edge replication, for a 2-D slice."""
+    n = x.shape[axis]
+    if direction > 0:
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(x, 1, n, axis=axis),
+             jax.lax.slice_in_dim(x, n - 1, n, axis=axis)],
+            axis=axis,
+        )
+    return jnp.concatenate(
         [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
-         jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+         jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
         axis=axis,
     )
-    return fwd - bwd
 
 
 def _erode6(v: Array) -> Array:
@@ -536,13 +540,13 @@ def _raycast_axis(
 
     # channel stack: tsdf, validity (6-eroded observed mask — serves both
     # the crossing-interp check and the reference's gradient-stencil
-    # rejection), grad_k, grad_i, grad_j [+ color r,g,b]
+    # rejection) [+ color r,g,b]. The SDF gradient is NOT swept as
+    # channels: it is reconstructed per ray from in-plane q-space
+    # differences + the along-ray difference (see composite_step), which
+    # cuts the resample matmuls and the volume channel traffic by 60%.
     v_obs = (weight_p > 0).astype(jnp.float32)
     gv = _erode6(v_obs)
-    chans = [
-        tsdf_p, gv,
-        _shift_diff(tsdf_p, 0), _shift_diff(tsdf_p, 1), _shift_diff(tsdf_p, 2),
-    ]
+    chans = [tsdf_p, gv]
     if color_p is not None:
         chans += [color_p[..., 0], color_p[..., 1], color_p[..., 2]]
     vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
@@ -573,20 +577,32 @@ def _raycast_axis(
         return out.astype(dtype), gamma
 
     zero_q = jnp.zeros((qh, qw), jnp.float32)
+    zero_qd = jnp.zeros((qh, qw), dtype)
     init = dict(
         prev=jnp.zeros((n_ch, qh, qw), dtype),
-        prev_gamma=zero_q,
+        prev_di=zero_qd,  # dS/dgi of the prev slice's tsdf channel
+        prev_dj=zero_qd,
         done_pos=jnp.zeros((qh, qw), bool),  # pos-dir rays: latch first
         hit=jnp.zeros((qh, qw), bool),
         out_ok=jnp.zeros((qh, qw), bool),
         k_star=zero_q,
         ch_star=jnp.zeros((n_ch, qh, qw), dtype),
+        di_star=zero_qd,
+        dj_star=zero_qd,
+        rd_star=zero_qd,  # along-ray tsdf difference d(psi)/dk at the hit
     )
+
+    def _inplane_diffs(f):
+        """Central differences of a (Qh, Qw) slice along the q-grid axes
+        (edge-replicated): dS/dgi, dS/dgj."""
+        di = 0.5 * (_shift2(f, 0, +1) - _shift2(f, 0, -1))
+        dj = 0.5 * (_shift2(f, 1, +1) - _shift2(f, 1, -1))
+        return di, dj
 
     def composite_step(st, cur, k, gamma):
         f_cur = cur[0].astype(jnp.float32)
         f_prev = st["prev"][0].astype(jnp.float32)
-        z_cur = gamma * w2q
+        cur_di, cur_dj = _inplane_diffs(cur[0])
         have_prev = k > 0
 
         # pos-dir rays: ray order == k order; earlier sample = prev
@@ -606,6 +622,14 @@ def _raycast_axis(
         ch_e = jnp.where(pos_dir[None], st["prev"], cur)
         ch_l = jnp.where(pos_dir[None], cur, st["prev"])
         ch_star_new = (ch_e + frac[None].astype(ch_e.dtype) * (ch_l - ch_e)).astype(ch_e.dtype)
+        fracd = frac.astype(dtype)
+        di_e = jnp.where(pos_dir, st["prev_di"], cur_di)
+        di_l = jnp.where(pos_dir, cur_di, st["prev_di"])
+        dj_e = jnp.where(pos_dir, st["prev_dj"], cur_dj)
+        dj_l = jnp.where(pos_dir, cur_dj, st["prev_dj"])
+        di_star_new = di_e + fracd * (di_l - di_e)
+        dj_star_new = dj_e + fracd * (dj_l - dj_e)
+        rd_new = (f_cur - f_prev).astype(dtype)  # d(psi along ray)/dk
 
         z_star = (k_star_new + geom.kappa) * w2q
         in_range = (z_star >= near_plane) & (z_star <= far_plane)
@@ -617,7 +641,8 @@ def _raycast_axis(
 
         st_new = dict(
             prev=cur,
-            prev_gamma=gamma * jnp.ones_like(zero_q),
+            prev_di=cur_di,
+            prev_dj=cur_dj,
             done_pos=st["done_pos"] | (cross_p & in_range),
             # pos-dir: first accepted crossing latches (done_pos);
             # neg-dir: later (larger-k = nearer-to-camera) accepts overwrite
@@ -625,6 +650,9 @@ def _raycast_axis(
             out_ok=jnp.where(accept, valid_interp, st["out_ok"]),
             k_star=jnp.where(accept, k_star_new, st["k_star"]),
             ch_star=jnp.where(accept[None], ch_star_new, st["ch_star"]),
+            di_star=jnp.where(accept, di_star_new, st["di_star"]),
+            dj_star=jnp.where(accept, dj_star_new, st["dj_star"]),
+            rd_star=jnp.where(accept, rd_new, st["rd_star"]),
         )
         return st_new
 
@@ -646,13 +674,23 @@ def _raycast_axis(
         + (i_star[..., None] + 0.5) * geom.u_b
         + (j_star[..., None] + 0.5) * geom.u_c
     ) * cell  # (Qh, Qw, 3) world
-    # gradient channels are along permuted axes (k,i,j) = world axes
-    # (axis, b, c); reassemble into world order
-    g_perm = jnp.stack(
-        [st["ch_star"][2], st["ch_star"][3], st["ch_star"][4]], axis=-1
-    ).astype(jnp.float32)
+    # SDF gradient by chain rule from the swept parametrization
+    # (k, gi, gj) -> (k, i, j): i = q1(gi)*gamma - alpha (di/dgi =
+    # gamma/q1_s, di/dk = q1), so
+    #   psi_i = dS/dgi * q1_s / gamma,   psi_j = dS/dgj * q2_s / gamma,
+    #   psi_k = d(psi along ray)/dk - psi_i*q1 - psi_j*q2.
+    gsafe_star = jnp.where(jnp.abs(gamma_star) < 1e-3, 1.0, gamma_star)
+    psi_i = st["di_star"].astype(jnp.float32) * (q1_s / gsafe_star)
+    psi_j = st["dj_star"].astype(jnp.float32) * (q2_s / gsafe_star)
+    psi_k = (
+        st["rd_star"].astype(jnp.float32)
+        - psi_i * q1[:, None]
+        - psi_j * q2[None, :]
+    )
     grad_world = (
-        g_perm[..., 0:1] * geom.u_a + g_perm[..., 1:2] * geom.u_b + g_perm[..., 2:3] * geom.u_c
+        psi_k[..., None] * geom.u_a
+        + psi_i[..., None] * geom.u_b
+        + psi_j[..., None] * geom.u_c
     )
     glen = jnp.linalg.norm(grad_world, axis=-1, keepdims=True)
     normal = grad_world / jnp.maximum(glen, 1e-30)
@@ -664,7 +702,7 @@ def _raycast_axis(
         color_q = jnp.where(
             hit[..., None],
             jnp.stack(
-                [st["ch_star"][5], st["ch_star"][6], st["ch_star"][7]], axis=-1
+                [st["ch_star"][2], st["ch_star"][3], st["ch_star"][4]], axis=-1
             ).astype(jnp.float32),
             0.0,
         )
