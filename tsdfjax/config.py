@@ -96,6 +96,13 @@ class IcpConfig:
     # index, so stride 2 cuts the tracker's time ~3x. Set 1 for strict
     # reference parity.
     source_subsample: int = 2
+    # stop a level's GN iterations once the 6-DoF update drops below this
+    # norm (0 = run the full reference schedule). The reference's ICP has
+    # no early exit, but its SDF tracker stops at ||x|| < 1e-3
+    # (CameraPoseFinderSDF.cpp:87-90); we adopt the same idea one decade
+    # tighter so the solution matches the full schedule to float noise
+    # while typical gentle motion converges in ~1/3 the iterations.
+    converge_eps: float = 1e-4
 
     @property
     def iters_per_level(self) -> tuple[int, ...]:

@@ -65,7 +65,13 @@ from tsdfjax.volume import TsdfVolume
 
 Array = jnp.ndarray
 
-RAYCAST_BSZ = 4  # tuned on v5e: 9.4 ms vs 11.6 at bsz=1 (see bench notes)
+RAYCAST_BSZ = 4  # slices per compositing scan step (tuned on v5e; 8 and 1 are slower)
+# k-sweep sample spacing in voxels. The TSDF truncation band is >= 5
+# voxels on each side of the surface (sdf_trunc 0.04 m / 0.0078 m voxels)
+# so a stride-2 sweep cannot step over a +/- crossing, and the crossing
+# refinement interpolates over the 2-voxel gap — still 2x finer than the
+# reference's 0.8*sdf_trunc (~4 voxel) march step (raycastingVolume.cu).
+RAYCAST_STRIDE = 2
 
 
 # ---------------------------------------------------------------------------
@@ -176,14 +182,21 @@ def _interp_matrix_b(positions: Array, n_src: int, mode: str) -> Array:
 
 
 def resample_slices_batched(
-    src: Array, rows_pos: Array, cols_pos: Array, mode: str
+    src: Array, rows_pos: Array, cols_pos: Array, mode: str, dtype=jnp.float32
 ) -> Array:
     """Shared-source batched resample: src (C, H, W), rows_pos (B, n_i),
     cols_pos (B, n_j) -> (B, C, n_i, n_j). Used to process several sweep
-    slices per scan step (fewer sequential steps, fatter matmuls)."""
-    mi = _interp_matrix_b(rows_pos, src.shape[1], mode)  # (B, n_i, H)
-    mj = _interp_matrix_b(cols_pos, src.shape[2], mode)  # (B, n_j, W)
-    tmp = jnp.einsum("bih,chw->bciw", mi, src, preferred_element_type=jnp.float32)
+    slices per scan step (fewer sequential steps, fatter matmuls).
+
+    With mode='nearest' the interpolation matrices are exactly 0/1, so
+    dtype=bfloat16 is EXACT selection of bf16-representable values (used
+    with hi/lo-split f32 channels for full-precision metric depth)."""
+    mi = _interp_matrix_b(rows_pos, src.shape[1], mode).astype(dtype)  # (B, n_i, H)
+    mj = _interp_matrix_b(cols_pos, src.shape[2], mode).astype(dtype)  # (B, n_j, W)
+    src = src.astype(dtype)
+    tmp = jnp.einsum(
+        "bih,chw->bciw", mi, src, preferred_element_type=jnp.float32
+    ).astype(dtype)
     return jnp.einsum("bjw,bciw->bcij", mj, tmp, preferred_element_type=jnp.float32)
 
 
@@ -285,6 +298,7 @@ def project_image_to_volume(
     axis: int,
     mode: str = "nearest",
     q_oversample: float = 1.3,
+    dtype=jnp.float32,
 ) -> Array:
     """channels (C, H, W) -> (C, R, R, R) in SWEEP-PERMUTED voxel layout
     [k, i, j] (axis `axis` first), where out[:, k, i, j] = channels at the
@@ -311,7 +325,7 @@ def project_image_to_volume(
         q2 = (jj[None, :] + geom.beta) / gsafe[:, None]
         rows = (q1 - q1_0) * q1_s
         cols = (q2 - q2_0) * q2_s
-        out = resample_slices_batched(warped, rows, cols, mode)  # (B, C, R, R)
+        out = resample_slices_batched(warped, rows, cols, mode, dtype)  # (B, C, R, R)
         out = jnp.where(usable[:, None, None, None], out, 0.0)
         return carry, out
 
@@ -361,15 +375,26 @@ def _integrate_axis(
     h, w = depth.shape
     geom = make_sweep_geom(pose, depth_cam, vol_cfg, axis)
 
-    # the normal-z channel only feeds the color angle weight — skip the
-    # whole swept channel in depth-only mode (one third of the matmuls)
-    chans = [depth, (depth > 0).astype(jnp.float32)]
+    # Channels resampled with 'nearest' (exact 0/1 selection matrices),
+    # so the matmuls run in bf16. Metric depth needs f32 precision: split
+    # it hi/lo (d = d_hi + d_lo with d_hi = bf16(d)); selection is linear
+    # and both halves are bf16-representable, so the reconstruction is
+    # exact to ~6e-5 relative — sub-0.2 mm at Kinect range.
+    # The normal-z channel only feeds the color angle weight — skip the
+    # whole swept channel in depth-only mode.
+    # No separate validity channel: depth 0 marks invalid pixels and the
+    # nearest-selection matrices produce exact 0 for out-of-range voxels,
+    # so d_vol != 0 is the complete validity test.
+    d_hi = depth.astype(jnp.bfloat16).astype(jnp.float32)
+    d_lo = depth - d_hi
+    chans = [d_hi, d_lo]
     if rgb is not None:
         chans += [normals[..., 2], rgb[..., 0], rgb[..., 1], rgb[..., 2]]
     img = jnp.stack(chans, axis=0)
-    volch = project_image_to_volume(img, pose, depth_cam, vol_cfg, axis, mode="nearest")
-    d_vol = volch[0]
-    valid_vol = volch[1] > 0.5
+    volch = project_image_to_volume(
+        img, pose, depth_cam, vol_cfg, axis, mode="nearest", dtype=jnp.bfloat16
+    )
+    d_vol = volch[0] + volch[1]
     nz_vol = volch[2] if rgb is not None else None
 
     # camera z per voxel: affine in (k, i, j)
@@ -383,7 +408,6 @@ def _integrate_axis(
     sdf = d_vol - pz
     update = (
         (pz > 0)
-        & valid_vol
         & (d_vol != 0)
         & (d_vol < integ_cfg.max_integrate_dist_m)
         & (sdf > -trunc)
@@ -395,6 +419,7 @@ def _integrate_axis(
     tsdf_out = jnp.where(update, tsdf_fused, tsdf)
 
     if rgb is not None:
+        # rgb 0..255 integers are exact in bf16 (8 significand bits)
         pix_color = jnp.stack([volch[3], volch[4], volch[5]], axis=-1)
         if color_angle_weight:
             w_color = jnp.minimum(1.0, jnp.abs(nz_vol) / 0.75) * 2.0
@@ -552,23 +577,32 @@ def _raycast_axis(
     vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
     n_ch = vol_ch.shape[0]
 
+    # k-sweep stride: only every RAYCAST_STRIDE-th slice is resampled and
+    # composited (see the constant's comment for why this cannot miss a
+    # crossing). Subsample via reshape-pick (strided slices are slow).
+    stride = RAYCAST_STRIDE if res % RAYCAST_STRIDE == 0 else 1
+    n_k = res // stride
+    if stride > 1:
+        vol_ch = vol_ch.reshape(n_ch, n_k, stride, res, res)[:, :, 0]
+
     # slices per compositing scan step; with the bf16 5-channel state the
     # batched intermediate fits VMEM (it spilled with 6 f32 channels)
-    bsz = RAYCAST_BSZ if res % RAYCAST_BSZ == 0 else 1
+    bsz = RAYCAST_BSZ if n_k % RAYCAST_BSZ == 0 else 1
 
-    def sample_block(k0):
-        """Resample slices k0..k0+B-1 in one batched pair of matmuls."""
-        kb = k0 + jnp.arange(bsz)
+    def sample_block(m0):
+        """Resample sweep samples m0..m0+B-1 (slice k = m*stride) in one
+        batched pair of matmuls."""
+        kb = (m0 + jnp.arange(bsz)) * stride
         gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
         usable = jnp.abs(gamma) >= 1e-3
         gsafe = jnp.where(usable, gamma, 1.0)
         rows = q1[None, :] * gsafe[:, None] - geom.alpha  # (B, Qh)
         cols = q2[None, :] * gsafe[:, None] - geom.beta  # (B, Qw)
         if bsz == 1:
-            slice_ch = jax.lax.dynamic_index_in_dim(vol_ch, k0, axis=1, keepdims=False)
+            slice_ch = jax.lax.dynamic_index_in_dim(vol_ch, m0, axis=1, keepdims=False)
             out = resample_slice(slice_ch, rows[0], cols[0], "linear", dtype=dtype)[None]
         else:
-            src = jax.lax.dynamic_slice_in_dim(vol_ch, k0, bsz, axis=1)  # (C,B,R,R)
+            src = jax.lax.dynamic_slice_in_dim(vol_ch, m0, bsz, axis=1)  # (C,B,R,R)
             src = jnp.swapaxes(src, 0, 1)  # (B, C, R, R)
             out = resample_slices_batched_src(src, rows, cols, "linear", dtype=dtype)
         out = jnp.where(usable[:, None, None, None], out, 0.0)
@@ -586,11 +620,15 @@ def _raycast_axis(
         hit=jnp.zeros((qh, qw), bool),
         out_ok=jnp.zeros((qh, qw), bool),
         k_star=zero_q,
-        ch_star=jnp.zeros((n_ch, qh, qw), dtype),
         di_star=zero_qd,
         dj_star=zero_qd,
         rd_star=zero_qd,  # along-ray tsdf difference d(psi)/dk at the hit
     )
+    if color_p is not None:
+        # only the color channels are ever read back at the crossing; in
+        # depth-only mode the field is dropped from the scan state (the
+        # compositing loop is HBM-bound on this state)
+        init["ch_star"] = jnp.zeros((3, qh, qw), dtype)
 
     def _inplane_diffs(f):
         """Central differences of a (Qh, Qw) slice along the q-grid axes
@@ -616,20 +654,21 @@ def _raycast_axis(
         f_l = jnp.where(pos_dir, f_cur, f_prev)
         denom = f_e - f_l
         frac = f_e / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
-        k_e = jnp.where(pos_dir, k - 1.0, k.astype(jnp.float32))
-        k_l = jnp.where(pos_dir, k.astype(jnp.float32), k - 1.0)
+        k_e = jnp.where(pos_dir, k - float(stride), k.astype(jnp.float32))
+        k_l = jnp.where(pos_dir, k.astype(jnp.float32), k - float(stride))
         k_star_new = k_e + (k_l - k_e) * frac
-        ch_e = jnp.where(pos_dir[None], st["prev"], cur)
-        ch_l = jnp.where(pos_dir[None], cur, st["prev"])
-        ch_star_new = (ch_e + frac[None].astype(ch_e.dtype) * (ch_l - ch_e)).astype(ch_e.dtype)
         fracd = frac.astype(dtype)
+        if color_p is not None:
+            ch_e = jnp.where(pos_dir[None], st["prev"][2:5], cur[2:5])
+            ch_l = jnp.where(pos_dir[None], cur[2:5], st["prev"][2:5])
+            ch_star_new = (ch_e + fracd[None] * (ch_l - ch_e)).astype(ch_e.dtype)
         di_e = jnp.where(pos_dir, st["prev_di"], cur_di)
         di_l = jnp.where(pos_dir, cur_di, st["prev_di"])
         dj_e = jnp.where(pos_dir, st["prev_dj"], cur_dj)
         dj_l = jnp.where(pos_dir, cur_dj, st["prev_dj"])
         di_star_new = di_e + fracd * (di_l - di_e)
         dj_star_new = dj_e + fracd * (dj_l - dj_e)
-        rd_new = (f_cur - f_prev).astype(dtype)  # d(psi along ray)/dk
+        rd_new = ((f_cur - f_prev) * (1.0 / stride)).astype(dtype)  # d(psi along ray)/dk
 
         z_star = (k_star_new + geom.kappa) * w2q
         in_range = (z_star >= near_plane) & (z_star <= far_plane)
@@ -649,20 +688,21 @@ def _raycast_axis(
             hit=st["hit"] | accept,
             out_ok=jnp.where(accept, valid_interp, st["out_ok"]),
             k_star=jnp.where(accept, k_star_new, st["k_star"]),
-            ch_star=jnp.where(accept[None], ch_star_new, st["ch_star"]),
             di_star=jnp.where(accept, di_star_new, st["di_star"]),
             dj_star=jnp.where(accept, dj_star_new, st["dj_star"]),
             rd_star=jnp.where(accept, rd_new, st["rd_star"]),
         )
+        if color_p is not None:
+            st_new["ch_star"] = jnp.where(accept[None], ch_star_new, st["ch_star"])
         return st_new
 
-    def body(st, k0):
-        block, gammas = sample_block(k0)
+    def body(st, m0):
+        block, gammas = sample_block(m0)
         for b in range(bsz):
-            st = composite_step(st, block[b], k0 + b, gammas[b])
+            st = composite_step(st, block[b], (m0 + b) * stride, gammas[b])
         return st, None
 
-    st, _ = jax.lax.scan(body, init, jnp.arange(0, res, bsz), unroll=1)
+    st, _ = jax.lax.scan(body, init, jnp.arange(0, n_k, bsz), unroll=1)
 
     hit = st["hit"] & st["out_ok"]
     k_star = st["k_star"]
@@ -702,7 +742,7 @@ def _raycast_axis(
         color_q = jnp.where(
             hit[..., None],
             jnp.stack(
-                [st["ch_star"][2], st["ch_star"][3], st["ch_star"][4]], axis=-1
+                [st["ch_star"][0], st["ch_star"][1], st["ch_star"][2]], axis=-1
             ).astype(jnp.float32),
             0.0,
         )

@@ -174,14 +174,14 @@ def icp_track(
             s = cfg.source_subsample
             nv, nn = F.subsample_pick(nv, s), F.subsample_pick(nn, s)
 
-        def body(_, carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_l=cam_l):
-            cur, ok, residual, num_corr = carry
+        def body(carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_l=cam_l):
+            i, cur, ok, residual, num_corr, stop = carry
             rows, valid = icp_rows(
                 nv, nn, mv, mn, cam_l, cur, last_transform_inv,
                 cfg.dist_thresh_m, cfg.normal_sin_thresh,
             )
             a7 = reduce_fn(normal_equations(rows))
-            delta, step_ok, _ = solve_gn_step(a7, cfg.angle_shake_rad, cfg.dist_shake_m)
+            delta, step_ok, x = solve_gn_step(a7, cfg.angle_shake_rad, cfg.dist_shake_m)
             apply = ok & step_ok
             cur = jnp.where(apply, delta @ cur, cur)
             ok = ok & step_ok
@@ -189,10 +189,16 @@ def icp_track(
             res = reduce_fn(jnp.sum(jnp.abs(rows[..., 6]))) / jnp.maximum(
                 n_val.astype(jnp.float32), 1.0
             )
-            return cur, ok, res, n_val
+            converged = jnp.linalg.norm(x) < cfg.converge_eps
+            # stop on convergence or rejection: further iterations are
+            # no-ops either way (once ok is False the pose never updates)
+            stop = (converged & jnp.array(cfg.converge_eps > 0)) | ~ok
+            return i + 1, cur, ok, res, n_val, stop
 
-        cur, ok, residual, num_corr = jax.lax.fori_loop(
-            0, iters[level], body, (cur, ok, residual, num_corr)
+        carry = (jnp.array(0, jnp.int32), cur, ok, residual, num_corr, jnp.array(False))
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] < iters[level]) & ~c[5], lambda c: body(c), carry
         )
+        _, cur, ok, residual, num_corr, _ = carry
 
     return IcpResult(pose=cur, ok=ok, residual=residual, num_corr=num_corr)
