@@ -44,6 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--exact", action="store_true",
                    help="use the exact gather-based ops instead of the fast MXU paths")
     p.add_argument("--depth-factor", type=float, default=5000.0)
+    p.add_argument("--relocalize-after", type=int, default=5,
+                   help="after N consecutive lost frames, reset the pose to "
+                        "the last keyframe's pose (0 disables; the reference "
+                        "instead blocks on a keypress, HybKinectfu.cpp:142-147)")
     return p
 
 
@@ -84,50 +88,33 @@ def main(argv=None) -> int:
     gt_provider = None
     gt_path = args.groundtruth or (cfg.io.traj_read_filename or None)
 
-    if args.synthetic:
-        scene = syn.default_scene(cfg.volume.size_m)
-        poses = [np.asarray(initial_pose(cfg))]
-        c = cfg.volume.size_m / 2
-        radius = c + cfg.preprocess.min_trunc_m
-        for i in range(1, args.synthetic):
-            ang = 0.005 * i
-            poses.append(
-                syn.look_at(
-                    np.array([c + radius * np.sin(ang), c, c - radius * np.cos(ang)]),
-                    np.array([c, c, c]),
-                )
-            )
-        render = jax.jit(lambda p: syn.render_depth(p, cam, scene))
-        render_rgb = jax.jit(lambda p: syn.render_rgb(p, cam, scene))
+    from tsdfjax.io.sources import SyntheticSource, make_data_source
 
-        def frames():
-            for i, p in enumerate(poses):
-                pj = jnp.asarray(p, jnp.float32)
-                rgb = render_rgb(pj) if cfg.switches.use_color else None
-                yield i, 1000.0 + i / 30.0, render(pj), rgb, p
-    else:
-        if not args.dataset:
-            print("need --dataset, --synthetic, or io config", file=sys.stderr)
-            return 2
-        ds = tum.TumDataset(
-            args.dataset, with_rgb=cfg.switches.use_color,
-            depth_factor=args.depth_factor, target_size=(cam.width, cam.height),
-        )
-        if mode == "file":
-            if not gt_path:
-                gt_path = os.path.join(args.dataset, "groundtruth.txt")
-            gt_provider = tum.GroundTruthPoseProvider(gt_path, initial_pose(cfg))
+    if not (args.synthetic or args.dataset or cfg.switches.use_dataset_rgbd
+            or args.config):
+        print("need --dataset, --synthetic, or io config", file=sys.stderr)
+        return 2
+    source = make_data_source(
+        cfg, dataset_dir=args.dataset, synthetic_frames=args.synthetic,
+        depth_factor=args.depth_factor,
+    )
+    synthetic_poses = source.poses() if isinstance(source, SyntheticSource) else None
+    if mode == "file" and synthetic_poses is None:
+        if not gt_path and args.dataset:
+            gt_path = os.path.join(args.dataset, "groundtruth.txt")
+        gt_provider = tum.GroundTruthPoseProvider(gt_path, initial_pose(cfg))
 
-        def frames():
-            for fr in ds:
-                ext = (
-                    gt_provider.pose_at(fr.timestamp, fr.index)
-                    if gt_provider is not None
-                    else None
-                )
-                yield fr.index, fr.timestamp, jnp.asarray(fr.depth_m), (
-                    jnp.asarray(fr.rgb) if fr.rgb is not None else None
-                ), ext
+    def frames():
+        for fr in source:
+            if gt_provider is not None:
+                ext = gt_provider.pose_at(fr.timestamp, fr.index)
+            elif synthetic_poses is not None:
+                ext = synthetic_poses[fr.index]
+            else:
+                ext = None
+            yield fr.index, fr.timestamp, jnp.asarray(fr.depth_m), (
+                jnp.asarray(fr.rgb) if fr.rgb is not None else None
+            ), ext
 
     # ---------------- frame loop ----------------
     logger = RunLogger(jsonl_path=args.log_jsonl)
@@ -135,6 +122,7 @@ def main(argv=None) -> int:
     traj = tum.TrajectoryWriter(args.traj_out) if args.traj_out else None
     estimated = []
     n_done = 0
+    consecutive_lost = 0
     t_start = time.perf_counter()
     try:
         for frame_id, ts, depth, rgb, ext_pose in frames():
@@ -145,6 +133,21 @@ def main(argv=None) -> int:
                 diag = engine.step(depth, rgb=rgb, ext_pose=ext_pose)
                 pose_np = np.asarray(diag.pose)  # sync point
             ok = bool(diag.tracking_ok)
+            consecutive_lost = 0 if ok else consecutive_lost + 1
+            if (
+                args.relocalize_after
+                and consecutive_lost >= args.relocalize_after
+                and kfman.last() is not None
+            ):
+                # Relocalize: reset to the last keyframe's pose and retry
+                # from there (SURVEY.md §5 — the reference has no recovery,
+                # it blocks on a modal keypress on loss).
+                engine.state = engine.state._replace(
+                    pose=jnp.asarray(kfman.last().pose, jnp.float32)
+                )
+                print(f"frame {frame_id}: relocalized to keyframe "
+                      f"{kfman.last().frame_id}", file=sys.stderr)
+                consecutive_lost = 0
             if ok:
                 kfman.maybe_add(frame_id, ts, pose_np,
                                 depth_m=np.asarray(depth) if frame_id % kfman.interval == 0 else None,

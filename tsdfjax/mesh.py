@@ -296,6 +296,124 @@ def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None, merge_eps
     return Mesh(vertices, faces, colors)
 
 
+def merge_meshes(a: Mesh, b: Mesh) -> Mesh:
+    """Concatenate two meshes (ml::MeshData::merge, meshData.h). Optional
+    attributes are kept only when both inputs carry them."""
+    v = np.concatenate([a.vertices, b.vertices], axis=0)
+    f = np.concatenate([a.faces, b.faces + len(a.vertices)], axis=0)
+    c = (
+        np.concatenate([a.colors, b.colors], axis=0)
+        if a.colors is not None and b.colors is not None
+        else None
+    )
+    n = (
+        np.concatenate([a.normals, b.normals], axis=0)
+        if a.normals is not None and b.normals is not None
+        else None
+    )
+    return Mesh(v, f, c, n)
+
+
+def remove_degenerate_faces(mesh: Mesh) -> Mesh:
+    """Drop faces with a repeated vertex index
+    (ml::MeshData::removeDegeneratedFaces)."""
+    f = mesh.faces
+    good = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    return Mesh(mesh.vertices, f[good], mesh.colors, mesh.normals)
+
+
+def remove_isolated_vertices(mesh: Mesh) -> Mesh:
+    """Drop vertices referenced by no face and reindex
+    (ml::MeshData::removeIsolatedVertices)."""
+    used = np.zeros(len(mesh.vertices), bool)
+    used[mesh.faces.reshape(-1)] = True
+    remap = np.cumsum(used) - 1
+    v = mesh.vertices[used]
+    f = remap[mesh.faces]
+    c = None if mesh.colors is None else mesh.colors[used]
+    n = None if mesh.normals is None else mesh.normals[used]
+    return Mesh(v, f, c, n)
+
+
+class Plane:
+    """Oriented plane n.x = d (ml::Plane, utils/mesh/plane.h): from a
+    normal + distance or from three points."""
+
+    def __init__(self, normal, dist: float):
+        n = np.asarray(normal, np.float64)
+        self.normal = (n / np.linalg.norm(n)).astype(np.float32)
+        self.dist = float(dist)
+
+    @classmethod
+    def from_points(cls, p0, p1, p2) -> "Plane":
+        p0, p1, p2 = (np.asarray(p, np.float64) for p in (p0, p1, p2))
+        n = np.cross(p1 - p0, p2 - p0)
+        n = n / np.linalg.norm(n)
+        return cls(n, float(n @ p0))
+
+    def signed_distance(self, points: np.ndarray) -> np.ndarray:
+        return np.asarray(points, np.float32) @ self.normal - self.dist
+
+
+def clip_mesh(mesh: Mesh, plane: Plane, keep_positive: bool = True) -> Mesh:
+    """Clip against a plane, splitting crossing triangles along the
+    intersection (the ml::MeshData plane-clipping op, meshData.h:544-559).
+    Keeps the side where signed_distance >= 0 (or <= 0)."""
+    sd = plane.signed_distance(mesh.vertices)
+    if not keep_positive:
+        sd = -sd
+    inside = sd >= 0.0
+
+    tri_in = inside[mesh.faces]  # (F, 3)
+    n_in = tri_in.sum(axis=1)
+    keep_whole = mesh.faces[n_in == 3]
+
+    new_tris: list[np.ndarray] = []  # (3,3) vertex coords
+    new_cols: list[np.ndarray] = []
+    has_c = mesh.colors is not None
+
+    def lerp_attr(arr, i, j, t):
+        return arr[i] + t * (arr[j] - arr[i])
+
+    for face, tin in zip(mesh.faces[(n_in == 1) | (n_in == 2)],
+                         tri_in[(n_in == 1) | (n_in == 2)]):
+        # Sutherland-Hodgman on one triangle -> convex polygon -> fan
+        poly_v, poly_c = [], []
+        for k in range(3):
+            i, j = face[k], face[(k + 1) % 3]
+            if tin[k]:
+                poly_v.append(mesh.vertices[i])
+                if has_c:
+                    poly_c.append(mesh.colors[i])
+            if tin[k] != tin[(k + 1) % 3]:
+                t = sd[i] / (sd[i] - sd[j])
+                poly_v.append(lerp_attr(mesh.vertices, i, j, t))
+                if has_c:
+                    poly_c.append(lerp_attr(mesh.colors, i, j, t))
+        for k in range(1, len(poly_v) - 1):
+            new_tris.append(np.stack([poly_v[0], poly_v[k], poly_v[k + 1]]))
+            if has_c:
+                new_cols.append(np.stack([poly_c[0], poly_c[k], poly_c[k + 1]]))
+
+    base_v = mesh.vertices
+    out_v = [base_v]
+    out_f = [keep_whole]
+    out_c = [mesh.colors] if has_c else None
+    nv = len(base_v)
+    if new_tris:
+        tv = np.concatenate(new_tris, axis=0).astype(np.float32)
+        out_v.append(tv)
+        out_f.append(np.arange(len(tv), dtype=np.int64).reshape(-1, 3) + nv)
+        if has_c:
+            out_c.append(np.concatenate(new_cols, axis=0).astype(np.float32))
+    clipped = Mesh(
+        np.concatenate(out_v, axis=0),
+        np.concatenate(out_f, axis=0),
+        None if out_c is None else np.concatenate(out_c, axis=0),
+    )
+    return remove_isolated_vertices(clipped)
+
+
 def compute_vertex_normals(mesh: Mesh) -> Mesh:
     """Area-weighted vertex normals (meshData.h:713-736): accumulate the
     unnormalized face cross products, then normalize."""

@@ -53,3 +53,19 @@ def dump_frame_debug(out_dir: str, frame_id: int, depth=None, normals=None, colo
             np.clip(model_color, 0, 255).astype(np.uint8),
             f"{out_dir}/raycast_rgb_{frame_id:05d}.png",
         )
+
+
+def save_vector_map(arr: np.ndarray, path: str) -> None:
+    """Text dump of an (H, W, C) vector map, one 'row col v0 v1 ...' line
+    per pixel — the debugging dump of DataIO::saveVector4fMap2D
+    (DataIO.cpp:10-34)."""
+    arr = np.asarray(arr)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(h, w, -1)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"# rows {h} cols {w} channels {flat.shape[2]}\n")
+        for r in range(h):
+            for c in range(w):
+                vals = " ".join(f"{v:.6f}" for v in flat[r, c])
+                f.write(f"{r} {c} {vals}\n")
