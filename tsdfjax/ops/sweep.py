@@ -297,7 +297,7 @@ def project_image_to_volume(
     vol_cfg: VolumeConfig,
     axis: int,
     mode: str = "nearest",
-    q_oversample: float = 1.3,
+    q_oversample: float = 1.15,
     dtype=jnp.float32,
 ) -> Array:
     """channels (C, H, W) -> (C, R, R, R) in SWEEP-PERMUTED voxel layout
