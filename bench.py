@@ -34,7 +34,12 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
-    cfg = AppConfig(switches=SwitchConfig(use_color=False), icp=IcpConfig(pyramid_levels=3))
+    # fast tracker settings (the shipped config_default.ini [tsdfjax]
+    # section); strict-parity defaults are subsample 1 / eps 0
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    )
     cam = cfg.depth_camera
     scene = syn.default_scene(cfg.volume.size_m)
 

@@ -24,8 +24,8 @@ class TestMeshOps:
         m = M.merge_meshes(a, b)
         assert m.num_vertices == 8 and m.num_faces == 4
         assert m.faces.max() == 7
-        # b's faces index into b's shifted vertices
-        assert np.allclose(m.vertices[m.faces[2:]].min(), 5.0 - 0.0, atol=1e-6) or True
+        # b's faces index into b's shifted vertices (all x >= 5)
+        assert np.allclose(m.vertices[m.faces[2:]][..., 0].min(), 5.0, atol=1e-6)
         assert m.vertices[4:, 0].min() == 5.0
 
     def test_remove_degenerate(self):

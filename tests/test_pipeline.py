@@ -107,8 +107,39 @@ class TestIcpTracking:
         # trajectory error bounded by ~1 voxel
         assert max(errs) < 2 * cfg.volume.voxel_size_m, errs
 
+    def test_shake_rejection_thresholds(self):
+        # Deterministic pin of the reference's shake rejection
+        # (CameraPoseFinderICP.cpp:104-107): a GN step whose 6-DoF update
+        # exceeds camera_shake_dist / camera_shake_angle (0.4/0.4) must be
+        # rejected; one just below must be accepted. ATA = I makes the
+        # solved update exactly equal to ATb.
+        import jax.numpy as jnp
+
+        from tsdfjax.trackers.icp import solve_gn_step
+
+        def a7_for(x6):
+            a7 = np.zeros((7, 7), np.float32)
+            a7[:6, :6] = np.eye(6, dtype=np.float32)
+            a7[:6, 6] = x6
+            return jnp.asarray(a7)
+
+        # pure translation straddling the 0.4 m threshold
+        _, ok, _ = solve_gn_step(a7_for([0, 0, 0, 0.41, 0, 0]), 0.4, 0.4)
+        assert not bool(ok)
+        _, ok, _ = solve_gn_step(a7_for([0, 0, 0, 0.39, 0, 0]), 0.4, 0.4)
+        assert bool(ok)
+        # pure rotation straddling the 0.4 rad threshold
+        _, ok, _ = solve_gn_step(a7_for([0.41, 0, 0, 0, 0, 0]), 0.4, 0.4)
+        assert not bool(ok)
+        _, ok, _ = solve_gn_step(a7_for([0.39, 0, 0, 0, 0, 0]), 0.4, 0.4)
+        assert bool(ok)
+        # singular system (det < 1e-10) is rejected regardless of size
+        _, ok, _ = solve_gn_step(jnp.zeros((7, 7), jnp.float32), 0.4, 0.4)
+        assert not bool(ok)
+
     def test_fails_on_teleport(self):
         # jump the camera far away: ICP must reject (shake / no overlap)
+        # and the engine must report the loss + keep the old pose
         cfg = small_config(icp=IcpConfig(pyramid_levels=3))
         scene = syn.default_scene(cfg.volume.size_m)
         engine = FusionEngine(cfg, mode="icp")
@@ -116,16 +147,17 @@ class TestIcpTracking:
         depth = syn.render_depth(p0, cfg.depth_camera, scene)
         engine.step(depth)
         engine.step(depth)
-        # now feed a frame rendered from a wildly different pose
+        # a frame rendered from behind/above the volume shares no surface
+        # overlap with the model maps: every GN level either finds no
+        # correspondences (singular ATA) or a >0.4 jump — tracking fails
         far = syn.look_at(np.array([3.5, 3.5, -1.0]), np.array([1.0, 1.0, 1.0]))
         depth_far = syn.render_depth(far, cfg.depth_camera, scene)
         diag = engine.step(depth_far)
+        assert not bool(diag.tracking_ok)
+        assert int(engine.state.lost_count) == 1
+        # the pose must have stayed at the last good estimate
         est = np.asarray(diag.pose)
-        if bool(diag.tracking_ok):
-            # if it claims success the pose must not have teleported
-            assert np.linalg.norm(est[:3, 3] - np.asarray(p0)[:3, 3]) < 0.5
-        else:
-            assert int(engine.state.lost_count) == 1
+        assert np.linalg.norm(est[:3, 3] - np.asarray(p0)[:3, 3]) < 0.5
 
 
 class TestSdfTracking:

@@ -54,7 +54,7 @@ def make_step(do_track, do_integrate, do_raycast):
         mvert, mnorm = state.model_vertices, state.model_normals
         if do_raycast:
             rc = fast_raycast(vol, pose, cam, cfg.volume, pre.min_trunc_m,
-                              pre.max_trunc_m, with_color=False)
+                              pre.max_trunc_m, with_color=False, sdf_trunc_m=cfg.integrate.sdf_trunc_m)
             mvert, mnorm = rc.vertices, rc.normals
         return FusionState(volume=vol, pose=pose, model_vertices=mvert,
                            model_normals=mnorm, model_color=state.model_color,

@@ -25,7 +25,7 @@ pose = jnp.asarray(pose0, jnp.float32)
 vol, cnt = fast_integrate(state.volume, trunced, normals, None, pose, cam,
                           cfg.rgb_camera, cfg.volume, cfg.integrate)
 rc = fast_raycast(vol, pose, cam, cfg.volume, pre.min_trunc_m, pre.max_trunc_m,
-                  with_color=False)
+                  with_color=False, sdf_trunc_m=cfg.integrate.sdf_trunc_m)
 mv, mn = rc.vertices, rc.normals
 
 L = cfg.icp.pyramid_levels

@@ -46,7 +46,7 @@ def stage_integrate(vol, trunced, normals, pose):
 @jax.jit
 def stage_raycast(vol, pose):
     return fast_raycast(vol, pose, cam, cfg.volume, pre.min_trunc_m, pre.max_trunc_m,
-                        with_color=False)
+                        with_color=False, sdf_trunc_m=cfg.integrate.sdf_trunc_m)
 
 pose = jnp.asarray(pose0, jnp.float32)
 vol, cnt = stage_integrate(state.volume, trunced, normals, pose)

@@ -94,6 +94,12 @@ def main(argv=None) -> int:
             or args.config):
         print("need --dataset, --synthetic, or io config", file=sys.stderr)
         return 2
+    if (not args.synthetic and not args.dataset
+            and cfg.switches.use_dataset_rgbd and not cfg.io.rgbd_read_filename):
+        print("config sets read_rgbd_from_rgbddataset but rgbd_source_filename "
+              "is blank; pass --dataset or fill [IO] rgbd_source_filename",
+              file=sys.stderr)
+        return 2
     source = make_data_source(
         cfg, dataset_dir=args.dataset, synthetic_frames=args.synthetic,
         depth_factor=args.depth_factor,
@@ -102,6 +108,14 @@ def main(argv=None) -> int:
     if mode == "file" and synthetic_poses is None:
         if not gt_path and args.dataset:
             gt_path = os.path.join(args.dataset, "groundtruth.txt")
+        if not gt_path:
+            print("tracker mode 'file' needs a pose source: pass "
+                  "--groundtruth/--dataset or set [IO] trajectory_source_filename",
+                  file=sys.stderr)
+            return 2
+        if not os.path.exists(gt_path):
+            print(f"groundtruth file not found: {gt_path}", file=sys.stderr)
+            return 2
         gt_provider = tum.GroundTruthPoseProvider(gt_path, initial_pose(cfg))
 
     def frames():

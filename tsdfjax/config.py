@@ -90,19 +90,21 @@ class IcpConfig:
     dist_shake_m: float = 0.4
     angle_shake_rad: float = 0.4
     # stride over SOURCE pixels at the finest level (targets stay full
-    # resolution). The reference uses every pixel (stride 1); ~75k of the
-    # ~300k valid constraints per iteration estimate the same 6-DoF system
-    # to well below the tracking noise floor, and TPU gather cost is per
-    # index, so stride 2 cuts the tracker's time ~3x. Set 1 for strict
-    # reference parity.
-    source_subsample: int = 2
+    # resolution). The reference uses every pixel (stride 1, the default
+    # here for strict parity); ~75k of the ~300k valid constraints per
+    # iteration estimate the same 6-DoF system to well below the tracking
+    # noise floor, and TPU gather cost is per index, so stride 2 cuts the
+    # tracker's time ~3x. Opt in via the INI [tsdfjax] section or the
+    # dataclass; the shipped fast configs and bench.py set 2.
+    source_subsample: int = 1
     # stop a level's GN iterations once the 6-DoF update drops below this
-    # norm (0 = run the full reference schedule). The reference's ICP has
-    # no early exit, but its SDF tracker stops at ||x|| < 1e-3
-    # (CameraPoseFinderSDF.cpp:87-90); we adopt the same idea one decade
-    # tighter so the solution matches the full schedule to float noise
-    # while typical gentle motion converges in ~1/3 the iterations.
-    converge_eps: float = 1e-4
+    # norm. 0 (the default — strict parity: the reference's ICP has no
+    # early exit) runs the full reference schedule. The reference's SDF
+    # tracker stops at ||x|| < 1e-3 (CameraPoseFinderSDF.cpp:87-90); the
+    # fast configs adopt the same idea one decade tighter (1e-4) so the
+    # solution matches the full schedule to float noise while typical
+    # gentle motion converges in ~1/3 the iterations.
+    converge_eps: float = 0.0
 
     @property
     def iters_per_level(self) -> tuple[int, ...]:
@@ -255,6 +257,11 @@ def load_ini(path: str) -> AppConfig:
         normal_sin_thresh=_get(cp, "icp", "icp_thre_sin_angle", 0.2, float),
         dist_shake_m=_get(cp, "icp", "camera_shake_dist", 0.4, float),
         angle_shake_rad=_get(cp, "icp", "camera_shake_angle", 0.4, float),
+        # deviations from reference behavior are OPT-IN via the [tsdfjax]
+        # section: a bit-exact reference config.ini yields strict-parity
+        # tracker settings (subsample 1, no early exit)
+        source_subsample=_get(cp, "tsdfjax", "icp_source_subsample", 1, int),
+        converge_eps=_get(cp, "tsdfjax", "icp_converge_eps", 0.0, float),
     )
     sdf = SdfTrackerConfig(
         max_iters=_get(cp, "sdfTracker", "max_iter_nums", 6, int),
@@ -285,4 +292,5 @@ def load_ini(path: str) -> AppConfig:
         _raycast_increment_factor=_get(
             cp, "kinectfusion", "raycast_increment_factor", 0.8, float
         ),
+        fast_ops=_get(cp, "tsdfjax", "fast_ops", True, bool),
     )

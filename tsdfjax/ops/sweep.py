@@ -66,12 +66,27 @@ from tsdfjax.volume import TsdfVolume
 Array = jnp.ndarray
 
 RAYCAST_BSZ = 4  # slices per compositing scan step (tuned on v5e; 8 and 1 are slower)
-# k-sweep sample spacing in voxels. The TSDF truncation band is >= 5
-# voxels on each side of the surface (sdf_trunc 0.04 m / 0.0078 m voxels)
-# so a stride-2 sweep cannot step over a +/- crossing, and the crossing
-# refinement interpolates over the 2-voxel gap — still 2x finer than the
-# reference's 0.8*sdf_trunc (~4 voxel) march step (raycastingVolume.cu).
+# Max k-sweep sample spacing in voxels. A stride-S sweep can only step
+# over a +/- crossing if the TSDF truncation band is narrower than S
+# voxels, so the actual stride is derived per config at trace time by
+# _raycast_stride below (e.g. the default config's band is 5.1 voxels ->
+# stride 2, which is still 2x finer than the reference's 0.8*sdf_trunc
+# (~4 voxel) march step, raycastingVolume.cu).
 RAYCAST_STRIDE = 2
+
+
+def _raycast_stride(vol_cfg: VolumeConfig, sdf_trunc_m: float | None) -> int:
+    """Largest safe sweep stride for this STATIC config: the truncation
+    band (sdf_trunc / voxel) must span >= 2*stride voxels so two adjacent
+    sweep samples cannot both miss the band around a crossing, and the
+    resolution must tile evenly. Falls back to 1 (every slice) when the
+    caller does not know the integration truncation."""
+    if sdf_trunc_m is None:
+        return 1
+    band_vox = sdf_trunc_m / vol_cfg.voxel_size_m
+    if band_vox >= 2 * RAYCAST_STRIDE and vol_cfg.resolution % RAYCAST_STRIDE == 0:
+        return RAYCAST_STRIDE
+    return 1
 
 
 # ---------------------------------------------------------------------------
@@ -539,6 +554,7 @@ def _raycast_axis(
     axis: int,
     q_oversample: float,
     dtype=jnp.bfloat16,
+    stride: int = 1,
 ):
     """Sweep raycast with STATIC axis over [k,i,j]-permuted volume arrays.
     Returns per-PIXEL packed model maps (vertices, normals, color, found,
@@ -577,10 +593,10 @@ def _raycast_axis(
     vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
     n_ch = vol_ch.shape[0]
 
-    # k-sweep stride: only every RAYCAST_STRIDE-th slice is resampled and
-    # composited (see the constant's comment for why this cannot miss a
-    # crossing). Subsample via reshape-pick (strided slices are slow).
-    stride = RAYCAST_STRIDE if res % RAYCAST_STRIDE == 0 else 1
+    # k-sweep stride: only every stride-th slice is resampled and
+    # composited (the caller derives a stride the truncation band cannot
+    # slip through, _raycast_stride). Subsample via reshape-pick (strided
+    # slices are slow).
     n_k = res // stride
     if stride > 1:
         vol_ch = vol_ch.reshape(n_ch, n_k, stride, res, res)[:, :, 0]
@@ -782,13 +798,18 @@ def fast_raycast(
     with_color: bool = False,
     q_oversample: float = 1.1,
     dtype=jnp.bfloat16,
+    sdf_trunc_m: float | None = None,
 ):
     """Gather-free shear-warp raycast. Returns a tsdfjax.raycast
     RaycastResult (hit_t is the camera-space depth of the hit, not the
-    reference's ray parameter — both orderings agree per ray)."""
+    reference's ray parameter — both orderings agree per ray).
+
+    `sdf_trunc_m` (the integration truncation) licenses the strided
+    sweep: without it every slice is visited (stride 1, always safe)."""
     from tsdfjax.raycast import RaycastResult
 
     axis = pick_sweep_axis(pose)
+    stride = _raycast_stride(vol_cfg, sdf_trunc_m)
 
     def branch(a):
         perm = _PERMS[a]
@@ -799,7 +820,7 @@ def fast_raycast(
             c_p = jnp.transpose(volume.color, (*perm, 3)) if with_color else None
             return _raycast_axis(
                 t_p, w_p, c_p, pose, cam, vol_cfg, near_plane, far_plane,
-                a, q_oversample, dtype=dtype,
+                a, q_oversample, dtype=dtype, stride=stride,
             )
 
         return run

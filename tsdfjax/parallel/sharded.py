@@ -219,15 +219,15 @@ class ShardedFusion:
                     nv_l = jax.lax.dynamic_slice_in_dim(nv_p, r0, band, 0)
                     nn_l = jax.lax.dynamic_slice_in_dim(nn_p, r0, band, 0)
 
-                    def it_body(_, carry, nv_l=nv_l, nn_l=nn_l, mv_l=mv[level],
+                    def it_body(carry, nv_l=nv_l, nn_l=nn_l, mv_l=mv[level],
                                 mn_l=mn[level], cam_l=cam_l):
-                        cur, ok, residual, corr = carry
+                        i, cur, ok, residual, corr, stop = carry
                         rows, valid = icp_rows(
                             nv_l, nn_l, mv_l, mn_l, cam_l, cur, last_inv,
                             cfg.icp.dist_thresh_m, cfg.icp.normal_sin_thresh,
                         )
                         a7 = psum(normal_equations(rows))
-                        delta, step_ok, _x = solve_gn_step(
+                        delta, step_ok, x = solve_gn_step(
                             a7, cfg.icp.angle_shake_rad, cfg.icp.dist_shake_m
                         )
                         apply = ok & step_ok
@@ -237,12 +237,20 @@ class ShardedFusion:
                         res = psum(jnp.sum(jnp.abs(rows[..., 6]))) / jnp.maximum(
                             n_val.astype(jnp.float32), 1.0
                         )
-                        return cur, ok, res, n_val
+                        # same early exit as the dense tracker (icp_track):
+                        # x derives from the psum'd system, so every shard
+                        # agrees and the loop stays SPMD-lockstep
+                        converged = jnp.linalg.norm(x) < cfg.icp.converge_eps
+                        stop = (converged & jnp.array(cfg.icp.converge_eps > 0)) | ~ok
+                        return i + 1, cur, ok, res, n_val, stop
 
-                    cur, ok, residual, corr = jax.lax.fori_loop(
-                        0, cfg.icp.iters_per_level[level], it_body,
-                        (cur, ok, residual, corr),
+                    n_iters = cfg.icp.iters_per_level[level]
+                    carry = (jnp.array(0, jnp.int32), cur, ok, residual,
+                             corr, jnp.array(False))
+                    carry = jax.lax.while_loop(
+                        lambda c: (c[0] < n_iters) & ~c[5], it_body, carry
                     )
+                    _, cur, ok, residual, corr, _ = carry
                 pose = jnp.where(frame0, state.pose, jnp.where(ok, cur, state.pose))
                 ok = ok | frame0
             elif mode == "sdf":

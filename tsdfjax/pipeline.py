@@ -176,6 +176,7 @@ def process_frame(
         rc = fast_raycast(
             vol, pose, cfg.depth_camera, cfg.volume,
             pre.min_trunc_m, pre.max_trunc_m, with_color=with_color,
+            sdf_trunc_m=cfg.integrate.sdf_trunc_m,
         )
     else:
         rc = R.raycast(
