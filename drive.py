@@ -15,7 +15,13 @@ from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig, VolumeConfig
 from tsdfjax.pipeline import FusionEngine, initial_pose
 from tsdfjax import synthetic as syn
 
-cfg = AppConfig(switches=SwitchConfig(use_color=False), icp=IcpConfig(pyramid_levels=3))
+# fast tracker settings (the shipped config_default.ini [tsdfjax] section,
+# same as bench.py); the strict-parity defaults (source_subsample=1) hit a
+# pathologically slow XLA compile on the axon TPU (~200s vs 16s)
+cfg = AppConfig(
+    switches=SwitchConfig(use_color=False),
+    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+)
 cam = cfg.depth_camera
 scene = syn.default_scene(cfg.volume.size_m)
 c = cfg.volume.size_m / 2.0

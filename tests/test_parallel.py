@@ -33,7 +33,7 @@ def par_config(**overrides) -> AppConfig:
             max_trunc_m=4.0, min_trunc_m=0.3, sigma_depth=0.02, sigma_pixel=1.0
         ),
         switches=SwitchConfig(use_color=False),
-        # the sharded path runs the exact ops; compare against exact dense
+        # exact ops by default; TestShardedFast* override to the sweep ops
         fast_ops=False,
     )
     base.update(overrides)
@@ -116,6 +116,91 @@ class TestShardedMatchesDense:
         h = required_halo(cfg)
         step_vox = cfg.raycast.ray_increment_m / cfg.volume.voxel_size_m
         assert h >= step_vox + 3
+
+
+class TestShardedFastMatchesDenseFast:
+    """The MXU shear-warp ops under shard_map (ops/sweep.py
+    fast_integrate_sharded / fast_raycast_sharded) vs the dense fast path.
+    The per-shard windows run the same global-q-grid matmuls as the dense
+    sweep (<= 2 nonzeros per interpolation row, so accumulation order
+    cannot differ), making the comparison essentially bitwise."""
+
+    def test_file_mode_volume_and_maps(self, mesh8):
+        cfg = par_config(fast_ops=True)
+        dense, shard, dd, sd = run_both(cfg, "file", mesh8)
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.tsdf), np.asarray(dense.state.volume.tsdf),
+            atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(shard.state.volume.weight), np.asarray(dense.state.volume.weight)
+        )
+        for d, s in zip(dd, sd):
+            assert int(d.integrated_voxels) == int(s.integrated_voxels)
+        mv_d = np.asarray(dense.state.model_vertices)
+        mv_s = np.asarray(shard.state.model_vertices)
+        hit_d = np.any(mv_d != 0, axis=-1)
+        hit_s = np.any(mv_s != 0, axis=-1)
+        assert (hit_d == hit_s).mean() > 0.9999
+        both = hit_d & hit_s
+        np.testing.assert_allclose(mv_s[both], mv_d[both], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(shard.state.model_normals)[both],
+            np.asarray(dense.state.model_normals)[both],
+            atol=1e-4,
+        )
+
+    @pytest.mark.parametrize("view_axis", [0, 1, 2])
+    def test_all_sweep_axes(self, mesh8, view_axis):
+        """Views along volume x exercise the local k-band branch; views
+        along y/z exercise the all_to_all re-shard branch."""
+        cfg = par_config(fast_ops=True)
+        c = cfg.volume.size_m / 2.0
+        radius = c + cfg.preprocess.min_trunc_m
+        eye = np.array([c, c, c])
+        eye[view_axis] -= radius
+        hint = (0.0, 1.0, 0.0) if view_axis != 1 else (0.0, 0.0, 1.0)
+        pose = syn.look_at(eye, np.array([c, c, c]), down_hint=hint)
+        scene = syn.default_scene(cfg.volume.size_m)
+        dense = FusionEngine(cfg, mode="file")
+        shard = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        depth = syn.render_depth(pose, cfg.depth_camera, scene)
+        for _ in range(2):  # frame 2 raycasts a populated volume
+            dd = dense.step(depth, ext_pose=pose)
+            sd = shard.step(depth, ext_pose=pose)
+            assert int(dd.integrated_voxels) == int(sd.integrated_voxels)
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.tsdf), np.asarray(dense.state.volume.tsdf),
+            atol=1e-6,
+        )
+        mv_d = np.asarray(dense.state.model_vertices)
+        mv_s = np.asarray(shard.state.model_vertices)
+        hit_d = np.any(mv_d != 0, axis=-1)
+        hit_s = np.any(mv_s != 0, axis=-1)
+        assert hit_d.sum() > 500, "scene not visible — test misconfigured"
+        assert (hit_d == hit_s).mean() > 0.9999
+        both = hit_d & hit_s
+        np.testing.assert_allclose(mv_s[both], mv_d[both], atol=1e-5)
+
+    def test_icp_mode_poses_match(self, mesh8):
+        cfg = par_config(fast_ops=True, icp=IcpConfig(pyramid_levels=3))
+        dense, shard, dd, sd = run_both(cfg, "icp", mesh8, n_frames=4)
+        for k, (d, s) in enumerate(zip(dd, sd)):
+            assert bool(d.tracking_ok) and bool(s.tracking_ok), f"frame {k}"
+            pd, ps = np.asarray(d.pose), np.asarray(s.pose)
+            np.testing.assert_allclose(ps[:3, 3], pd[:3, 3], atol=2e-3)
+            np.testing.assert_allclose(ps[:3, :3], pd[:3, :3], atol=2e-3)
+
+    def test_color_fusion_matches(self, mesh8):
+        cfg = par_config(fast_ops=True, switches=SwitchConfig(use_color=True))
+        dense, shard, dd, sd = run_both(cfg, "file", mesh8, n_frames=3, with_rgb=True)
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.color), np.asarray(dense.state.volume.color),
+            atol=1e-2,
+        )
+        mc_d = np.asarray(dense.state.model_color)
+        mc_s = np.asarray(shard.state.model_color)
+        np.testing.assert_allclose(mc_s, mc_d, atol=1.0)
 
 
 class TestHaloExchange:

@@ -1,0 +1,281 @@
+#!/usr/bin/env python
+"""Execute the BASELINE.md eval configs end-to-end and record ATE + fps.
+
+BASELINE.json names five configs on TUM RGB-D sequences. This
+environment has no network egress (tools/fetch_tum.py documents the
+blocker), so when the real sequences are absent the runner renders
+synthetic TUM-format stand-ins (tools/make_tum_synthetic.py) with the
+same directory layout and drives the IDENTICAL application CLI path
+(tsdfjax.app main: TumDataset reader -> tracker -> trajectory writer ->
+bundled ATE). The output JSON records which data source was used.
+
+Configs (BASELINE.json):
+  1 GT-pose fusion, fr1_xyz, 128^3          -> ATE ~ 0 sanity + fps
+  2 3-level ICP, fr1_desk, 256^3            -> ATE RMSE (strict parity
+                                               AND fast settings)
+  3 SDF tracker, fr1_desk                   -> ATE RMSE vs ICP
+  4 marching cubes + keyframes, fr2_desk 512^3 -> artifacts + timings
+  5 sharded volume, fr3_long_office         -> ATE + scaling (CPU mesh)
+
+Usage: python tools/run_baseline.py [--data-root data/tum] [--out ATE.json]
+       [--frames N] [--configs 1,2,3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_sequence(data_root: str, name: str, kind: str, frames: int,
+                    noise: float) -> tuple[str, str]:
+    """Returns (sequence_dir, source) where source is 'tum' or 'synthetic'."""
+    real = {
+        "fr1_xyz": "rgbd_dataset_freiburg1_xyz",
+        "fr1_desk": "rgbd_dataset_freiburg1_desk",
+        "fr2_desk": "rgbd_dataset_freiburg2_desk",
+        "fr3_long_office": "rgbd_dataset_freiburg3_long_office_household",
+    }[name]
+    real_dir = os.path.join(data_root, real)
+    if os.path.exists(os.path.join(real_dir, "depth.txt")):
+        return real_dir, "tum"
+    syn_dir = os.path.join(data_root, f"synthetic_{name}_{frames}f")
+    if not os.path.exists(os.path.join(syn_dir, "depth.txt")):
+        from make_tum_synthetic import write_sequence
+
+        print(f"[baseline] rendering synthetic stand-in for {name} "
+              f"({kind}, {frames} frames)...", file=sys.stderr)
+        write_sequence(syn_dir, kind=kind, n_frames=frames, noise=noise)
+    return syn_dir, "synthetic"
+
+
+def run_app(argv: list[str]) -> tuple[int, str, float]:
+    """Run the application CLI in-process, capturing stderr text."""
+    import io
+    from contextlib import redirect_stderr
+
+    from tsdfjax.app import main as app_main
+
+    buf = io.StringIO()
+    t0 = time.perf_counter()
+
+    class Tee(io.TextIOBase):
+        def write(self, s):
+            buf.write(s)
+            sys.__stderr__.write(s)
+            return len(s)
+
+    with redirect_stderr(Tee()):
+        rc = app_main(argv)
+    return rc, buf.getvalue(), time.perf_counter() - t0
+
+
+def parse_metrics(err_text: str) -> dict:
+    out = {}
+    m = re.search(r"(\d+) frames in ([0-9.]+)s \(([0-9.]+) fps\)", err_text)
+    if m:
+        out["frames"] = int(m.group(1))
+        out["fps"] = float(m.group(3))
+    m = re.search(r"ATE RMSE vs .*: ([0-9.]+) cm", err_text)
+    if m:
+        out["ate_rmse_cm"] = float(m.group(1))
+    m = re.search(r"mesh: (\d+) verts / (\d+) faces .*\(([0-9.]+)s\)", err_text)
+    if m:
+        out["mesh_vertices"] = int(m.group(1))
+        out["mesh_faces"] = int(m.group(2))
+        out["mesh_seconds"] = float(m.group(3))
+    return out
+
+
+def ate_of_traj(traj_path: str, gt_path: str) -> float:
+    from tsdfjax.io import tum
+
+    est = tum.read_trajectory(traj_path)
+    gt = tum.read_trajectory(gt_path)
+    return tum.ate_rmse(est, gt)
+
+
+def write_ini(path: str, volume_res: int, tracker: str, size_m: float = 2.0,
+              fast: bool | None = None, use_color: bool = False,
+              max_triangles: int = 1_500_000) -> str:
+    """A reference-format config.ini for the run. `fast=None` leaves the
+    [tsdfjax] section out entirely = strict-parity ICP defaults."""
+    lines = [
+        "[switch]",
+        f"use_color={int(use_color)}",
+        "read_rgbd_from_rgbddataset=1",
+        f"use_sdf_tracker={int(tracker == 'sdf')}",
+        f"read_trajactory_from_file={int(tracker == 'file')}",
+        "[camera]",
+        "depth_cols=640", "depth_rows=480",
+        "depth_cx=319.5", "depth_cy=239.5", "depth_fx=525", "depth_fy=525",
+        "rgb_cols=640", "rgb_rows=480",
+        "rgb_cx=319.5", "rgb_cy=239.5", "rgb_fx=525", "rgb_fy=525",
+        "[kinectfusion]",
+        "depth_trunc_max=4.0", "depth_trunc_min=0.3",
+        "filter_sigma_depth=0.02", "filter_sigma_pixel=2.0",
+        f"volume_resolution={volume_res}",
+        f"volume_size_meter={size_m}",
+        "volume_max_weight=128",
+        "integrate_sdf_trunc=0.04", "integrate_depth_trunc=2.0",
+        "raycast_increment_factor=0.8",
+        "[icp]",
+        "icp_pyramid_level=3", "icp_thre_dist=0.1", "icp_thre_sin_angle=0.2",
+        "camera_shake_dist=0.4", "camera_shake_angle=0.4",
+        "[sdfTracker]",
+        "max_iter_nums=6", "camera_shake_dist=0.4", "camera_shake_angle=0.4",
+        "[mesh]",
+        f"max_triangle_num={max_triangles}",
+        "[IO]",
+    ]
+    if fast is not None:
+        lines += ["[tsdfjax]",
+                  f"fast_ops={int(fast)}",
+                  "icp_source_subsample=2" if fast else "icp_source_subsample=1",
+                  "icp_converge_eps=1e-4" if fast else "icp_converge_eps=0"]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data-root", default="data/tum")
+    ap.add_argument("--out", default="ATE_run.json")
+    ap.add_argument("--frames", type=int, default=120,
+                    help="synthetic stand-in sequence length")
+    ap.add_argument("--noise", type=float, default=0.002,
+                    help="synthetic Kinect-like depth noise (sigma=noise*z^2)")
+    ap.add_argument("--configs", default="1,2,3",
+                    help="comma list out of 1,2,3,4,5")
+    ap.add_argument("--workdir", default="output/baseline")
+    args = ap.parse_args()
+    configs = {int(x) for x in args.configs.split(",")}
+    os.makedirs(args.workdir, exist_ok=True)
+
+    results = {"runs": [], "env": {}}
+    import jax
+
+    results["env"]["backend"] = jax.default_backend()
+    results["env"]["device"] = str(jax.devices()[0])
+
+    def record(name, seq_dir, source, extra, err, wall):
+        met = parse_metrics(err)
+        met.update(extra)
+        met["config"] = name
+        met["sequence"] = seq_dir
+        met["data_source"] = source
+        met["wall_seconds"] = round(wall, 1)
+        results["runs"].append(met)
+        print(f"[baseline] {name}: {met}", file=sys.stderr)
+
+    # ---------------- config 1: GT fusion, fr1_xyz, 128^3 ----------------
+    if 1 in configs:
+        seq, source = ensure_sequence(args.data_root, "fr1_xyz", "xyz",
+                                      args.frames, args.noise)
+        ini = write_ini(os.path.join(args.workdir, "cfg1.ini"), 128, "file")
+        traj = os.path.join(args.workdir, "traj_cfg1.txt")
+        rc, err, wall = run_app([
+            "--config", ini, "--dataset", seq, "--tracker", "file",
+            "--traj-out", traj,
+            "--groundtruth", os.path.join(seq, "groundtruth.txt"),
+        ])
+        assert rc == 0, f"config 1 failed rc={rc}"
+        ate = ate_of_traj(traj, os.path.join(seq, "groundtruth.txt"))
+        record("1_gt_fusion_fr1_xyz_128", seq, source,
+               {"ate_rmse_cm": round(ate * 100, 4)}, err, wall)
+
+    # ---------------- config 2: ICP, fr1_desk, 256^3 ----------------
+    if 2 in configs:
+        seq, source = ensure_sequence(args.data_root, "fr1_desk", "desk",
+                                      args.frames, args.noise)
+        gt = os.path.join(seq, "groundtruth.txt")
+        for label, fast in (("strict", None), ("fast", True)):
+            ini = write_ini(
+                os.path.join(args.workdir, f"cfg2_{label}.ini"), 256, "icp",
+                fast=fast,
+            )
+            traj = os.path.join(args.workdir, f"traj_cfg2_{label}.txt")
+            rc, err, wall = run_app([
+                "--config", ini, "--dataset", seq, "--tracker", "icp",
+                "--traj-out", traj, "--groundtruth", gt,
+            ])
+            assert rc == 0, f"config 2 {label} failed rc={rc}"
+            ate = ate_of_traj(traj, gt)
+            record(f"2_icp_fr1_desk_256_{label}", seq, source,
+                   {"ate_rmse_cm": round(ate * 100, 4)}, err, wall)
+
+    # ---------------- config 3: SDF tracker, fr1_desk ----------------
+    if 3 in configs:
+        seq, source = ensure_sequence(args.data_root, "fr1_desk", "desk",
+                                      args.frames, args.noise)
+        gt = os.path.join(seq, "groundtruth.txt")
+        ini = write_ini(os.path.join(args.workdir, "cfg3.ini"), 256, "sdf")
+        traj = os.path.join(args.workdir, "traj_cfg3.txt")
+        rc, err, wall = run_app([
+            "--config", ini, "--dataset", seq, "--tracker", "sdf",
+            "--traj-out", traj, "--groundtruth", gt,
+        ])
+        assert rc == 0, f"config 3 failed rc={rc}"
+        ate = ate_of_traj(traj, gt)
+        record("3_sdf_fr1_desk_256", seq, source,
+               {"ate_rmse_cm": round(ate * 100, 4)}, err, wall)
+
+    # ------- config 4: marching cubes + keyframes, fr2_desk, 512^3 -------
+    if 4 in configs:
+        seq, source = ensure_sequence(args.data_root, "fr2_desk", "desk",
+                                      min(args.frames, 60), args.noise)
+        gt = os.path.join(seq, "groundtruth.txt")
+        ini = write_ini(os.path.join(args.workdir, "cfg4.ini"), 512, "icp",
+                        size_m=2.0, fast=True, use_color=True,
+                        max_triangles=6_500_000)
+        mesh_out = os.path.join(args.workdir, "cfg4_mesh.obj")
+        tex_out = os.path.join(args.workdir, "textured_mesh.obj")
+        kf_dir = os.path.join(args.workdir, "cfg4_keyframes")
+        rc, err, wall = run_app([
+            "--config", ini, "--dataset", seq, "--tracker", "icp",
+            "--groundtruth", gt, "--mesh-out", mesh_out,
+            "--texture-out", tex_out, "--keyframe-dir", kf_dir,
+            "--keyframe-every", "20",
+        ])
+        assert rc == 0, f"config 4 failed rc={rc}"
+        record("4_mc_keyframes_fr2_desk_512", seq, source, {
+            "mesh_file": mesh_out,
+            "textured_mesh": tex_out if os.path.exists(tex_out) else None,
+            "mesh_bytes": os.path.getsize(mesh_out) if os.path.exists(mesh_out) else 0,
+        }, err, wall)
+
+    # ------- config 5: sharded volume, fr3_long_office ----------------
+    if 5 in configs:
+        seq, source = ensure_sequence(args.data_root, "fr3_long_office",
+                                      "long", max(args.frames, 200), args.noise)
+        gt = os.path.join(seq, "groundtruth.txt")
+        ini = write_ini(os.path.join(args.workdir, "cfg5.ini"), 256, "icp",
+                        fast=True)
+        traj = os.path.join(args.workdir, "traj_cfg5.txt")
+        rc, err, wall = run_app([
+            "--config", ini, "--dataset", seq, "--tracker", "icp",
+            "--traj-out", traj, "--groundtruth", gt,
+            "--posegraph-every", "50",
+        ])
+        assert rc == 0, f"config 5 failed rc={rc}"
+        ate = ate_of_traj(traj, gt)
+        record("5_long_office_posegraph", seq, source,
+               {"ate_rmse_cm": round(ate * 100, 4)}, err, wall)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results["runs"], indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

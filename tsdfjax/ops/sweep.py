@@ -314,13 +314,27 @@ def project_image_to_volume(
     mode: str = "nearest",
     q_oversample: float = 1.15,
     dtype=jnp.float32,
+    k0: Array | int = 0,
+    nk: int | None = None,
+    i0: Array | int = 0,
+    ni: int | None = None,
 ) -> Array:
-    """channels (C, H, W) -> (C, R, R, R) in SWEEP-PERMUTED voxel layout
+    """channels (C, H, W) -> (C, nk, ni, R) in SWEEP-PERMUTED voxel layout
     [k, i, j] (axis `axis` first), where out[:, k, i, j] = channels at the
     pixel the voxel projects to (zeros when unusable). `axis` is static.
+
+    `k0`/`i0` (traced) + `nk`/`ni` (static, default full resolution)
+    restrict the output to a local window [k0, k0+nk) x [i0, i0+ni) of
+    global sweep/in-slice indices — the x-sharded execution path, where
+    each shard projects only into its own slab. The warp and the q grid
+    stay global, so a shard's window is bitwise-identical to the same
+    window of the dense output (the 'nearest' selection matmuls sum one
+    nonzero per row).
     """
     c, h, w = channels.shape
     res = vol_cfg.resolution
+    nk = res if nk is None else nk
+    ni = res if ni is None else ni
     geom = make_sweep_geom(pose, cam, vol_cfg, axis)
     qh = _round8(int(h * q_oversample))
     qw = _round128(int(w * q_oversample))
@@ -328,26 +342,26 @@ def project_image_to_volume(
     warped = _warp_image_to_q(channels, geom, q_grid, mode)
     q1_0, q1_s, q2_0, q2_s, _, _ = q_grid
 
-    ii = jnp.arange(res, dtype=jnp.float32)
+    ii = i0 + jnp.arange(ni, dtype=jnp.float32)
     jj = jnp.arange(res, dtype=jnp.float32)
-    bsz = 4 if res % 4 == 0 else 1  # slices per scan step
+    bsz = 4 if nk % 4 == 0 else 1  # slices per scan step
 
     def body(carry, kb):
         gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
         usable = jnp.abs(gamma) >= 1.0
         gsafe = jnp.where(usable, gamma, 1.0)
-        q1 = (ii[None, :] + geom.alpha) / gsafe[:, None]  # (B, R)
+        q1 = (ii[None, :] + geom.alpha) / gsafe[:, None]  # (B, ni)
         q2 = (jj[None, :] + geom.beta) / gsafe[:, None]
         rows = (q1 - q1_0) * q1_s
         cols = (q2 - q2_0) * q2_s
-        out = resample_slices_batched(warped, rows, cols, mode, dtype)  # (B, C, R, R)
+        out = resample_slices_batched(warped, rows, cols, mode, dtype)  # (B, C, ni, R)
         out = jnp.where(usable[:, None, None, None], out, 0.0)
         return carry, out
 
-    ks = jnp.arange(res).reshape(res // bsz, bsz)
+    ks = k0 + jnp.arange(nk).reshape(nk // bsz, bsz)
     _, vol = jax.lax.scan(body, jnp.array(0), ks, unroll=1)
-    # vol: (R/B, B, C, R, R) -> (C, R, R, R)
-    return jnp.moveaxis(vol.reshape(res, -1, res, res), 1, 0)
+    # vol: (nk/B, B, C, ni, R) -> (C, nk, ni, R)
+    return jnp.moveaxis(vol.reshape(nk, -1, ni, res), 1, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -382,11 +396,16 @@ def _integrate_axis(
     integ_cfg: IntegrateConfig,
     color_angle_weight: bool,
     axis: int,
+    k0: Array | int = 0,
+    i0: Array | int = 0,
 ):
     """Integrate with STATIC sweep axis; volume arrays already permuted to
-    [k, i, j] layout. Returns permuted updated arrays + count."""
+    [k, i, j] layout. Returns permuted updated arrays + count.
+
+    `k0`/`i0` are the (traced) global sweep/in-slice offsets of the given
+    arrays — nonzero when the caller passes a shard's local slab."""
     tsdf, weight, color = volume_perm
-    res = vol_cfg.resolution
+    nk, ni, nj = tsdf.shape
     h, w = depth.shape
     geom = make_sweep_geom(pose, depth_cam, vol_cfg, axis)
 
@@ -407,16 +426,17 @@ def _integrate_axis(
         chans += [normals[..., 2], rgb[..., 0], rgb[..., 1], rgb[..., 2]]
     img = jnp.stack(chans, axis=0)
     volch = project_image_to_volume(
-        img, pose, depth_cam, vol_cfg, axis, mode="nearest", dtype=jnp.bfloat16
+        img, pose, depth_cam, vol_cfg, axis, mode="nearest", dtype=jnp.bfloat16,
+        k0=k0, nk=nk, i0=i0, ni=ni,
     )
     d_vol = volch[0] + volch[1]
     nz_vol = volch[2] if rgb is not None else None
 
     # camera z per voxel: affine in (k, i, j)
     ca, cb, cc, c0 = _cam_affine(geom, vol_cfg)
-    kk = jax.lax.broadcasted_iota(jnp.float32, (res, res, res), 0)
-    ii = jax.lax.broadcasted_iota(jnp.float32, (res, res, res), 1)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (res, res, res), 2)
+    kk = k0 + jax.lax.broadcasted_iota(jnp.float32, (nk, ni, nj), 0)
+    ii = i0 + jax.lax.broadcasted_iota(jnp.float32, (nk, ni, nj), 1)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (nk, ni, nj), 2)
     pz = ca[2] * kk + cb[2] * ii + cc[2] * jj + c0[2]
 
     trunc = integ_cfg.sdf_trunc_m
@@ -502,6 +522,61 @@ def fast_integrate(
     return TsdfVolume(tsdf=t, weight=w, color=c), count
 
 
+def fast_integrate_sharded(
+    volume: TsdfVolume,
+    depth: Array,
+    normals: Array,
+    rgb: Array | None,
+    pose: Array,
+    depth_cam: CameraIntrinsics,
+    rgb_cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    integ_cfg: IntegrateConfig,
+    color_angle_weight: bool = True,
+    x0: Array | int = 0,
+) -> tuple[TsdfVolume, Array]:
+    """fast_integrate for an x-sharded volume, called per shard inside
+    shard_map: `volume` holds the LOCAL (block, R, R) slab starting at
+    global voxel x = `x0` (traced). Entirely local — the q-warp is
+    per-frame global and voxel x is either the sweep axis k (sweep along
+    x) or the first in-slice axis i (sweep along y/z), so each shard
+    projects the frame into just its own slab. No collectives; the
+    per-shard count is NOT psum'd here (caller reduces)."""
+    axis = pick_sweep_axis(pose)
+    block = volume.tsdf.shape[0]
+    res = vol_cfg.resolution
+
+    def branch(a):
+        perm = _PERMS[a]
+        inv = _INV_PERMS[a]
+
+        def run(_):
+            vol_perm = (
+                jnp.transpose(volume.tsdf, perm),
+                jnp.transpose(volume.weight, perm),
+                jnp.transpose(volume.color, (*perm, 3)),
+            )
+            if a == 0:  # sweep along x: local slab = k band
+                k0, i0 = x0, 0
+            else:  # sweep along y/z: x is the in-slice i axis
+                k0, i0 = 0, x0
+            t, w, c, count = _integrate_axis(
+                vol_perm, depth, normals, rgb, pose, depth_cam,
+                vol_cfg, integ_cfg, color_angle_weight, a, k0=k0, i0=i0,
+            )
+            return (
+                jnp.transpose(t, inv),
+                jnp.transpose(w, inv),
+                jnp.transpose(c, (*inv, 3)),
+                count,
+            )
+
+        return run
+
+    t, w, c, count = jax.lax.switch(axis, [branch(0), branch(1), branch(2)], None)
+    return TsdfVolume(tsdf=t, weight=w, color=c), count
+
+
 # ---------------------------------------------------------------------------
 # fast raycast
 # ---------------------------------------------------------------------------
@@ -555,15 +630,28 @@ def _raycast_axis(
     q_oversample: float,
     dtype=jnp.bfloat16,
     stride: int = 1,
+    halo: int = 0,
+    k0: Array | int = 0,
+    axis_name: str | None = None,
 ):
     """Sweep raycast with STATIC axis over [k,i,j]-permuted volume arrays.
     Returns per-PIXEL packed model maps (vertices, normals, color, found,
     z_cam). dtype=bfloat16 (default) halves the resample matmul cost;
     all swept channels are in [-1,1] or O(1), so the rounding is
-    sub-0.5%% — the validity threshold is loosened accordingly."""
+    sub-0.5%% — the validity threshold is loosened accordingly.
+
+    Sharded mode (`axis_name` set): the arrays are a k-band slab extended
+    by `halo` >= stride+1 slices on both sides (neighbor data; global
+    edges edge-replicated), owning global sweep slices [k0, k0+n_own).
+    The shard composites only crossing intervals (k-stride, k] for owned
+    k — the previous sample for the first owned slice comes from the
+    halo — and per-shard candidates are merged by pmin on camera depth
+    (the first crossing along a ray is its minimum-depth crossing, so the
+    merge reproduces the dense latch/overwrite semantics exactly)."""
     vthresh = 0.97 if dtype == jnp.bfloat16 else 0.999
     res = vol_cfg.resolution
     cell = vol_cfg.voxel_size_m
+    n_own = tsdf_p.shape[0] - 2 * halo
     h, w = cam.height, cam.width
     geom = make_sweep_geom(pose, cam, vol_cfg, axis)
     qh = _round8(int(h * q_oversample))
@@ -597,41 +685,80 @@ def _raycast_axis(
     # composited (the caller derives a stride the truncation band cannot
     # slip through, _raycast_stride). Subsample via reshape-pick (strided
     # slices are slow).
-    n_k = res // stride
-    if stride > 1:
-        vol_ch = vol_ch.reshape(n_ch, n_k, stride, res, res)[:, :, 0]
+    n_k = n_own // stride
+    if halo > 0:
+        # local samples at extended positions halo, halo+stride, ... plus
+        # ONE extra leading sample at halo-stride: the previous sample of
+        # the first owned slice (lives in the exchanged halo)
+        sub = jax.lax.slice_in_dim(
+            vol_ch, halo - stride, halo - stride + (n_k + 1) * stride, axis=1
+        )
+        vol_samp = sub.reshape(n_ch, n_k + 1, stride, res, res)[:, :, 0]
+        samp_off = 1
+    elif stride > 1:
+        vol_samp = vol_ch.reshape(n_ch, n_k, stride, res, res)[:, :, 0]
+        samp_off = 0
+    else:
+        vol_samp = vol_ch
+        samp_off = 0
 
     # slices per compositing scan step; with the bf16 5-channel state the
     # batched intermediate fits VMEM (it spilled with 6 f32 channels)
     bsz = RAYCAST_BSZ if n_k % RAYCAST_BSZ == 0 else 1
 
-    def sample_block(m0):
-        """Resample sweep samples m0..m0+B-1 (slice k = m*stride) in one
-        batched pair of matmuls."""
-        kb = (m0 + jnp.arange(bsz)) * stride
+    def resample_sweep(src_bcrr, kb):
+        """Resample sweep sample slices (B, C, R, R) at global sweep
+        indices kb (B,) onto the q grid -> (B, C, Qh, Qw) in `dtype`."""
         gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
         usable = jnp.abs(gamma) >= 1e-3
         gsafe = jnp.where(usable, gamma, 1.0)
         rows = q1[None, :] * gsafe[:, None] - geom.alpha  # (B, Qh)
         cols = q2[None, :] * gsafe[:, None] - geom.beta  # (B, Qw)
-        if bsz == 1:
-            slice_ch = jax.lax.dynamic_index_in_dim(vol_ch, m0, axis=1, keepdims=False)
-            out = resample_slice(slice_ch, rows[0], cols[0], "linear", dtype=dtype)[None]
+        if src_bcrr.shape[0] == 1:
+            out = resample_slice(src_bcrr[0], rows[0], cols[0], "linear", dtype=dtype)[None]
         else:
-            src = jax.lax.dynamic_slice_in_dim(vol_ch, m0, bsz, axis=1)  # (C,B,R,R)
-            src = jnp.swapaxes(src, 0, 1)  # (B, C, R, R)
-            out = resample_slices_batched_src(src, rows, cols, "linear", dtype=dtype)
+            out = resample_slices_batched_src(src_bcrr, rows, cols, "linear", dtype=dtype)
         out = jnp.where(usable[:, None, None, None], out, 0.0)
         # carry the swept channels in `dtype`: the compositing loop is
         # HBM-bandwidth-bound on this state, bf16 halves the traffic
         return out.astype(dtype), gamma
 
+    def sample_block(m0):
+        """Resample sweep samples m0..m0+B-1 (global slice k0 + m*stride)
+        in one batched pair of matmuls."""
+        kb = k0 + (m0 + jnp.arange(bsz)) * stride
+        if bsz == 1:
+            src = jax.lax.dynamic_index_in_dim(vol_samp, samp_off + m0, axis=1)
+            src = jnp.swapaxes(src, 0, 1)  # (1, C, R, R)
+        else:
+            src = jax.lax.dynamic_slice_in_dim(vol_samp, samp_off + m0, bsz, axis=1)
+            src = jnp.swapaxes(src, 0, 1)  # (B, C, R, R)
+        return resample_sweep(src, kb)
+
     zero_q = jnp.zeros((qh, qw), jnp.float32)
     zero_qd = jnp.zeros((qh, qw), dtype)
+    if halo > 0:
+        # previous sample of the first owned slice, from the halo. For the
+        # global-edge shard this is a replica of slice 0, which can never
+        # sign-cross slice 0 itself — and the k>0 guard in composite_step
+        # skips it anyway, reproducing the dense have_prev semantics.
+        prev0, _ = resample_sweep(
+            jnp.swapaxes(vol_samp[:, :1], 0, 1), k0 - stride + jnp.arange(1)
+        )
+        prev0 = prev0[0]
+    else:
+        prev0 = jnp.zeros((n_ch, qh, qw), dtype)
+    if halo > 0:
+        prev0_di, prev0_dj = (
+            0.5 * (_shift2(prev0[0], 0, +1) - _shift2(prev0[0], 0, -1)),
+            0.5 * (_shift2(prev0[0], 1, +1) - _shift2(prev0[0], 1, -1)),
+        )
+    else:
+        prev0_di, prev0_dj = zero_qd, zero_qd
     init = dict(
-        prev=jnp.zeros((n_ch, qh, qw), dtype),
-        prev_di=zero_qd,  # dS/dgi of the prev slice's tsdf channel
-        prev_dj=zero_qd,
+        prev=prev0,
+        prev_di=prev0_di,  # dS/dgi of the prev slice's tsdf channel
+        prev_dj=prev0_dj,
         done_pos=jnp.zeros((qh, qw), bool),  # pos-dir rays: latch first
         hit=jnp.zeros((qh, qw), bool),
         out_ok=jnp.zeros((qh, qw), bool),
@@ -645,6 +772,13 @@ def _raycast_axis(
         # depth-only mode the field is dropped from the scan state (the
         # compositing loop is HBM-bound on this state)
         init["ch_star"] = jnp.zeros((3, qh, qw), dtype)
+    if axis_name is not None:
+        # under shard_map the scan carry becomes per-device varying (it
+        # reads the sharded slab); mark the constant-zero init fields
+        # accordingly (prev/prev_di/prev_dj already derive from the slab)
+        for key in list(init):
+            if key not in ("prev", "prev_di", "prev_dj"):
+                init[key] = jax.lax.pvary(init[key], axis_name)
 
     def _inplane_diffs(f):
         """Central differences of a (Qh, Qw) slice along the q-grid axes
@@ -715,10 +849,44 @@ def _raycast_axis(
     def body(st, m0):
         block, gammas = sample_block(m0)
         for b in range(bsz):
-            st = composite_step(st, block[b], (m0 + b) * stride, gammas[b])
+            st = composite_step(st, block[b], k0 + (m0 + b) * stride, gammas[b])
         return st, None
 
     st, _ = jax.lax.scan(body, init, jnp.arange(0, n_k, bsz), unroll=1)
+
+    if axis_name is not None:
+        # Merge per-shard candidates: the first crossing along a ray is
+        # its minimum-camera-depth crossing (z = gamma * w2q is monotone
+        # along each ray in ray order for both sweep directions), so a
+        # pmin on z + masked psum of the winner's fields reproduces the
+        # dense first-hit semantics exactly. Ties (distinct crossings
+        # with bit-equal z) break toward the lower shard index.
+        z_cand = (st["k_star"] + geom.kappa) * w2q
+        zkey = jnp.where(st["hit"], z_cand, jnp.inf)
+        zmin = jax.lax.pmin(zkey, axis_name)
+        win = st["hit"] & (zkey == zmin)
+        idx = jax.lax.axis_index(axis_name)
+        nsh = jax.lax.axis_size(axis_name)
+        wid = jax.lax.pmin(jnp.where(win, idx, nsh), axis_name)
+        win = win & (idx == wid)
+
+        def merge_f(v):
+            return jax.lax.psum(
+                jnp.where(win, v.astype(jnp.float32), 0.0), axis_name
+            )
+
+        st = dict(st)
+        st["hit"] = jnp.isfinite(zmin)
+        st["out_ok"] = merge_f(st["out_ok"]) > 0.5
+        st["k_star"] = merge_f(st["k_star"])
+        st["di_star"] = merge_f(st["di_star"])
+        st["dj_star"] = merge_f(st["dj_star"])
+        st["rd_star"] = merge_f(st["rd_star"])
+        if color_p is not None:
+            st["ch_star"] = jax.lax.psum(
+                jnp.where(win[None], st["ch_star"].astype(jnp.float32), 0.0),
+                axis_name,
+            )
 
     hit = st["hit"] & st["out_ok"]
     k_star = st["k_star"]
@@ -821,6 +989,102 @@ def fast_raycast(
             return _raycast_axis(
                 t_p, w_p, c_p, pose, cam, vol_cfg, near_plane, far_plane,
                 a, q_oversample, dtype=dtype, stride=stride,
+            )
+
+        return run
+
+    vert, normal, color, found, z = jax.lax.switch(
+        axis, [branch(0), branch(1), branch(2)], None
+    )
+    return RaycastResult(
+        vertices=vert, normals=normal, color=color, found=found, hit_t=z
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharded fast raycast
+# ---------------------------------------------------------------------------
+
+
+def _halo_k(local: Array, halo: int, axis_name: str) -> Array:
+    """(B, ...) k-band slab -> (B + 2*halo, ...) extended slab via one-hop
+    ppermute along the mesh ring. Global-edge shards REPLICATE their edge
+    slice into the missing halo (matching the dense sweep's
+    edge-replicated erosion stencil; the k>0 guard keeps the replicated
+    phantom from ever producing a crossing)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(local[-halo:], axis_name, fwd)
+    from_right = jax.lax.ppermute(local[:halo], axis_name, bwd)
+    edge_lo = jnp.broadcast_to(local[:1], from_left.shape)
+    edge_hi = jnp.broadcast_to(local[-1:], from_right.shape)
+    from_left = jnp.where(idx == 0, edge_lo, from_left)
+    from_right = jnp.where(idx == n - 1, edge_hi, from_right)
+    return jnp.concatenate([from_left, local, from_right], axis=0)
+
+
+def fast_raycast_sharded(
+    volume: TsdfVolume,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    near_plane: float,
+    far_plane: float,
+    with_color: bool = False,
+    q_oversample: float = 1.1,
+    dtype=jnp.bfloat16,
+    sdf_trunc_m: float | None = None,
+    x0: Array | int = 0,
+    axis_name: str = "space",
+):
+    """fast_raycast for an x-sharded volume, called per shard inside
+    shard_map: `volume` holds the LOCAL (block, R, R) slab starting at
+    global voxel x = `x0`. Each shard composites ONLY its own k-band of
+    sweep slices — 1/N of the dense sweep's slice work — then per-shard
+    crossing candidates merge with one pmin + masked psum in q space.
+
+    When the sweep axis is x the slab already IS a k band (one halo
+    ppermute). When it is y or z, the permuted slab (k-full, x-band) is
+    re-sharded to (k-band, x-full) with a single all_to_all of the
+    channel volume — the collective rides ICI once per frame, instead of
+    every shard marching all rays over the full t-grid like the exact
+    sharded path (parallel/sharded.py)."""
+    from tsdfjax.raycast import RaycastResult
+
+    axis = pick_sweep_axis(pose)
+    block = volume.tsdf.shape[0]
+    stride = _raycast_stride(vol_cfg, sdf_trunc_m)
+    if block % stride != 0:
+        stride = 1
+    halo = stride + 1
+
+    def branch(a):
+        perm = _PERMS[a]
+
+        def run(_):
+            t_p = jnp.transpose(volume.tsdf, perm)
+            w_p = jnp.transpose(volume.weight, perm)
+            c_p = jnp.transpose(volume.color, (*perm, 3)) if with_color else None
+            if a != 0:
+                # permuted local slab is (k=R full, i=x block): re-shard to
+                # a k band with full in-slice extent
+                t_p = jax.lax.all_to_all(t_p, axis_name, split_axis=0, concat_axis=1, tiled=True)
+                w_p = jax.lax.all_to_all(w_p, axis_name, split_axis=0, concat_axis=1, tiled=True)
+                if c_p is not None:
+                    c_p = jax.lax.all_to_all(
+                        c_p, axis_name, split_axis=0, concat_axis=1, tiled=True
+                    )
+            # x0 == axis_index * block, which is also this shard's k-band
+            # start for the all_to_all layout
+            t_e = _halo_k(t_p, halo, axis_name)
+            w_e = _halo_k(w_p, halo, axis_name)
+            c_e = _halo_k(c_p, halo, axis_name) if c_p is not None else None
+            return _raycast_axis(
+                t_e, w_e, c_e, pose, cam, vol_cfg, near_plane, far_plane,
+                a, q_oversample, dtype=dtype, stride=stride,
+                halo=halo, k0=x0, axis_name=axis_name,
             )
 
         return run

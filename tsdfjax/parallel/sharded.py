@@ -52,6 +52,7 @@ from tsdfjax import frames as F
 from tsdfjax import volume as V
 from tsdfjax import raycast as R
 from tsdfjax.geometry import se3_inverse
+from tsdfjax.ops.sweep import fast_integrate_sharded, fast_raycast_sharded
 from tsdfjax.trackers.icp import icp_rows, normal_equations, solve_gn_step
 from tsdfjax.trackers import sdf as sdf_mod
 from tsdfjax.pipeline import FusionState, FrameDiagnostics, init_state
@@ -104,7 +105,13 @@ class ShardedFusion:
     identical to the dense engine; only array shardings differ, so states
     round-trip between dense and sharded execution."""
 
-    def __init__(self, cfg: AppConfig, mesh: Mesh | None = None, mode: str | None = None):
+    def __init__(
+        self,
+        cfg: AppConfig,
+        mesh: Mesh | None = None,
+        mode: str | None = None,
+        fast_ops: bool | None = None,
+    ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_space_mesh()
         if mode is None:
@@ -112,6 +119,11 @@ class ShardedFusion:
             mode = "file" if sw.use_traj_from_file else ("sdf" if sw.use_sdf_tracker else "icp")
         self.mode = mode
         self.with_color = cfg.switches.use_color
+        # MXU shear-warp integrate/raycast under sharding (default: follow
+        # the config, like the dense engine). The SDF tracker keeps the
+        # exact halo-sampled kernel either way (its 13-sample loop reads
+        # arbitrary volume points, which the sweep does not cover).
+        self.fast_ops = cfg.fast_ops if fast_ops is None else fast_ops
         self.n = self.mesh.devices.size
         if cfg.volume.resolution % self.n:
             raise ValueError("volume resolution must divide the mesh size")
@@ -275,6 +287,12 @@ class ShardedFusion:
 
             # ---------------- integrate (local) ----------------
             def do_integrate(vol):
+                if self.fast_ops:
+                    return fast_integrate_sharded(
+                        vol, trunced, normals, rgb if with_color else None, pose,
+                        cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
+                        color_angle_weight=cfg.switches.color_angle_weight, x0=x0_own,
+                    )
                 return V.integrate(
                     vol, trunced, normals, rgb if with_color else None, pose,
                     cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
@@ -289,29 +307,44 @@ class ShardedFusion:
             vol, count = jax.lax.cond(ok, do_integrate, no_integrate, state.volume)
             count = psum(count)
 
-            # ---------------- raycast (halo + pmin first-hit) ----------
-            ext2 = V.TsdfVolume(
-                tsdf=_halo_exchange(vol.tsdf, halo),
-                weight=_halo_exchange(vol.weight, halo),
-                color=_halo_exchange(vol.color, halo),
-            )
-            rc = R.raycast(
-                ext2, pose, cfg.depth_camera, cfg.volume,
-                cfg.raycast.ray_increment_m, cfg.preprocess.min_trunc_m,
-                cfg.preprocess.max_trunc_m, with_color=with_color,
-                x0=x0_ext, own_x_range=(own_lo, own_hi), axis_name="space",
-            )
-            # global first hit = min claimed ray parameter over shards
-            # (the t-grid is identical on every shard, so the winner's
-            # outputs — including 'refinement failed -> zeros', matching
-            # dense break-on-invalid semantics — are psum-selected)
-            tkey = jnp.where(rc.found, rc.hit_t, jnp.inf)
-            tmin = jax.lax.pmin(tkey, "space")
-            win = rc.found & (tkey == tmin)
-            winf = win[..., None].astype(jnp.float32)
-            model_v = psum(rc.vertices * winf)
-            model_n = psum(rc.normals * winf)
-            model_c = psum(rc.color * winf)
+            # ---------------- raycast ----------------
+            if self.fast_ops:
+                # per-shard k-band shear-warp sweep; candidates merge on
+                # camera depth inside fast_raycast_sharded (1/N of the
+                # dense slice work per shard, vs the exact path's full
+                # t-grid march on every shard)
+                rc = fast_raycast_sharded(
+                    vol, pose, cfg.depth_camera, cfg.volume,
+                    cfg.preprocess.min_trunc_m, cfg.preprocess.max_trunc_m,
+                    with_color=with_color, sdf_trunc_m=cfg.integrate.sdf_trunc_m,
+                    x0=x0_own, axis_name="space",
+                )
+                model_v, model_n, model_c = rc.vertices, rc.normals, rc.color
+            else:
+                # exact path: halo-extended slab + full t-grid march with
+                # ownership masking, then pmin first-hit combine
+                ext2 = V.TsdfVolume(
+                    tsdf=_halo_exchange(vol.tsdf, halo),
+                    weight=_halo_exchange(vol.weight, halo),
+                    color=_halo_exchange(vol.color, halo),
+                )
+                rc = R.raycast(
+                    ext2, pose, cfg.depth_camera, cfg.volume,
+                    cfg.raycast.ray_increment_m, cfg.preprocess.min_trunc_m,
+                    cfg.preprocess.max_trunc_m, with_color=with_color,
+                    x0=x0_ext, own_x_range=(own_lo, own_hi), axis_name="space",
+                )
+                # global first hit = min claimed ray parameter over shards
+                # (the t-grid is identical on every shard, so the winner's
+                # outputs — including 'refinement failed -> zeros', matching
+                # dense break-on-invalid semantics — are psum-selected)
+                tkey = jnp.where(rc.found, rc.hit_t, jnp.inf)
+                tmin = jax.lax.pmin(tkey, "space")
+                win = rc.found & (tkey == tmin)
+                winf = win[..., None].astype(jnp.float32)
+                model_v = psum(rc.vertices * winf)
+                model_n = psum(rc.normals * winf)
+                model_c = psum(rc.color * winf)
 
             new_state = FusionState(
                 volume=vol, pose=pose, model_vertices=model_v,
