@@ -1,17 +1,23 @@
-"""Headline benchmark: depth frames/s per chip through the FULL fusion
-pipeline (preprocess -> 3-level ICP tracking -> 256^3 TSDF integrate ->
-raycast) at the reference's default 640x480 configuration, on synthetic
-frames (no dataset download in this environment).
+"""Benchmarks on the real chip. Default: the HEADLINE metric — depth
+frames/s per chip through the FULL fusion pipeline (preprocess -> 3-level
+ICP tracking -> 256^3 TSDF integrate -> raycast) at the reference's
+default 640x480 configuration, on synthetic frames (no dataset download
+in this environment). Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}. Baseline = 30 depth fps/chip
+(BASELINE.md north-star; the reference's targeted Kinect sensor rate,
+DataSourceProducerOpenni2.cpp:103).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = 30 depth fps/chip (BASELINE.md north-star; the reference's
-targeted Kinect sensor rate, DataSourceProducerOpenni2.cpp:103).
+--suite runs the full matrix (color fusion, SDF tracker, 512^3 GT
+fusion, sharded-engine n=1, exact-ops reference point, marching-cubes
+timing), writes all lines + a per-stage breakdown to BENCH_SUITE.json,
+and still prints the headline line last on stdout.
 
-Extra per-stage numbers go to stderr so stdout stays one JSON line.
+Extra logging goes to stderr so stdout stays parseable.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -23,52 +29,46 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def make_frames(cfg, n_total, with_rgb=False):
+    """Pre-render an orbit ON DEVICE: through the axon tunnel a
+    host->device upload of even a 1.2 MB frame costs ~0.8 s (lazy
+    transfer at first use), which would measure the tunnel, not the
+    pipeline. On a real TPU host the same H2D copy is ~microseconds."""
     import jax
     import jax.numpy as jnp
 
-    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
-    from tsdfjax.pipeline import FusionEngine, initial_pose
+    from tsdfjax.pipeline import initial_pose
     from tsdfjax import synthetic as syn
 
-    dev = jax.devices()[0]
-    log(f"device: {dev}")
-
-    # fast tracker settings (the shipped config_default.ini [tsdfjax]
-    # section); strict-parity defaults are subsample 1 / eps 0
-    cfg = AppConfig(
-        switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
-    )
     cam = cfg.depth_camera
     scene = syn.default_scene(cfg.volume.size_m)
-
-    # pre-render a short orbit on host so frame IO is out of the loop
-    n_warm, n_meas = 3, 20
     c = cfg.volume.size_m / 2.0
-    start = initial_pose(cfg)
     radius = c + cfg.preprocess.min_trunc_m
     target = np.array([c, c, c])
-    poses = [start]
-    for i in range(1, n_warm + n_meas):
+    poses = [initial_pose(cfg)]
+    for i in range(1, n_total):
         ang = 0.004 * i
         eye = np.array([c + radius * np.sin(ang), c, c - radius * np.cos(ang)])
         poses.append(syn.look_at(eye, target))
-    log("rendering synthetic frames...")
-    # Frames are rendered ON DEVICE and stay there: through the axon
-    # tunnel a host->device upload of even a 1.2 MB frame costs ~0.8 s
-    # (lazy transfer at first use), which would measure the tunnel, not
-    # the pipeline. On a real TPU host the same H2D copy is ~microseconds.
-    render = jax.jit(lambda p: syn.render_depth(p, cam, scene))
-    frames_dev = [render(jnp.asarray(p, jnp.float32)) for p in poses]
-    jax.block_until_ready(frames_dev)
+    render_d = jax.jit(lambda p: syn.render_depth(p, cam, scene))
+    depths = [render_d(jnp.asarray(p, jnp.float32)) for p in poses]
+    rgbs = None
+    if with_rgb:
+        render_c = jax.jit(lambda p: syn.render_rgb(p, cam, scene))
+        rgbs = [render_c(jnp.asarray(p, jnp.float32)) for p in poses]
+    jax.block_until_ready(depths)
+    return poses, depths, rgbs
 
-    engine = FusionEngine(cfg, mode="icp")
 
-    # jax.block_until_ready does NOT reliably wait through the axon
-    # relay; only an actual value readback guarantees the device work
-    # finished. sync() reduces every state leaf to one scalar.
-    import jax.numpy as jnp  # noqa: F811
+def measure_engine(engine, poses, depths, rgbs, n_warm, n_meas, mode):
+    """Warm up, measure the amortized steady-state fps of engine.step.
+
+    jax.block_until_ready does NOT reliably wait through the axon relay;
+    only an actual value readback guarantees the device work finished, so
+    sync() reduces every state leaf to one scalar and the readback floor
+    is measured and subtracted."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def _probe(state):
@@ -83,38 +83,194 @@ def main() -> None:
     def sync():
         return float(_probe(engine.state))
 
-    log("warmup/compile...")
+    def step(k):
+        rgb = rgbs[k] if rgbs is not None else None
+        ext = poses[k] if mode == "file" else None
+        return engine.step(depths[k], rgb=rgb, ext_pose=ext)
+
     t0 = time.perf_counter()
     for k in range(n_warm):
-        diag = engine.step(frames_dev[k])
+        diag = step(k)
     sync()
-    log(f"warmup done in {time.perf_counter()-t0:.1f}s")
+    log(f"  warmup done in {time.perf_counter()-t0:.1f}s")
 
-    # measure the readback floor so it can be amortized out
-    t0 = time.perf_counter()
-    floor = 0.0
+    floor = None
     for _ in range(3):
         t1 = time.perf_counter()
         sync()
-        floor = min(floor, time.perf_counter() - t1) if floor else time.perf_counter() - t1
-    log(f"readback floor: {floor*1000:.1f} ms")
-
+        d = time.perf_counter() - t1
+        floor = d if floor is None else min(floor, d)
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
-        diag = engine.step(frames_dev[k])
+        diag = step(k)
     sync()
     dt = max(time.perf_counter() - t0 - floor, 1e-9)
     fps = n_meas / dt
-    log(f"{n_meas} frames in {dt:.3f}s -> {fps:.2f} fps "
+    log(f"  {n_meas} frames in {dt:.3f}s -> {fps:.2f} fps "
         f"(tracking ok on last: {bool(diag.tracking_ok)})")
+    return fps
 
-    baseline = 30.0
-    print(json.dumps({
-        "metric": "depth_fps_per_chip_icp_256",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 3),
-    }))
+
+def jline(metric, value, unit, baseline):
+    return {
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }
+
+
+def bench_headline(n_warm=3, n_meas=20):
+    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionEngine
+
+    # fast tracker settings (the shipped config_default.ini [tsdfjax]
+    # section); strict-parity defaults are subsample 1 / eps 0
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    )
+    log("headline: dense ICP 256^3 depth-only")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
+    fps = measure_engine(FusionEngine(cfg, mode="icp"), poses, depths, rgbs,
+                         n_warm, n_meas, "icp")
+    return jline("depth_fps_per_chip_icp_256", fps, "frames/s", 30.0)
+
+
+def bench_color(n_warm=3, n_meas=15):
+    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionEngine
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=True),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    )
+    log("color: dense ICP 256^3 rgb fusion + color raycast")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas, with_rgb=True)
+    fps = measure_engine(FusionEngine(cfg, mode="icp"), poses, depths, rgbs,
+                         n_warm, n_meas, "icp")
+    return jline("rgbd_fps_per_chip_icp_256", fps, "frames/s", 30.0)
+
+
+def bench_sdf(n_warm=3, n_meas=15):
+    from tsdfjax.config import AppConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionEngine
+
+    cfg = AppConfig(switches=SwitchConfig(use_color=False, use_sdf_tracker=True))
+    log("sdf: dense SDF tracker 256^3 depth-only")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
+    fps = measure_engine(FusionEngine(cfg, mode="sdf"), poses, depths, rgbs,
+                         n_warm, n_meas, "sdf")
+    return jline("depth_fps_per_chip_sdf_256", fps, "frames/s", 30.0)
+
+
+def bench_512(n_warm=2, n_meas=8):
+    import dataclasses
+
+    from tsdfjax.config import AppConfig, SwitchConfig, VolumeConfig
+    from tsdfjax.pipeline import FusionEngine
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        volume=VolumeConfig(resolution=512, size_m=2.0, max_weight=128.0),
+    )
+    log("512: GT-pose fusion at 512^3 (config-4 scale)")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
+    fps = measure_engine(FusionEngine(cfg, mode="file"), poses, depths, rgbs,
+                         n_warm, n_meas, "file")
+    return jline("depth_fps_per_chip_file_512", fps, "frames/s", 30.0)
+
+
+def bench_sharded_n1(n_warm=3, n_meas=15):
+    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
+    from tsdfjax.parallel import ShardedFusion, make_space_mesh
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    )
+    log("sharded_n1: ShardedFusion on a 1-device mesh (shard_map overhead)")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
+    engine = ShardedFusion(cfg, mesh=make_space_mesh(1), mode="icp")
+    fps = measure_engine(engine, poses, depths, rgbs, n_warm, n_meas, "icp")
+    return jline("depth_fps_sharded_n1_icp_256", fps, "frames/s", 30.0)
+
+
+def bench_exact(n_warm=2, n_meas=4):
+    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionEngine
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        fast_ops=False,
+    )
+    log("exact: reference-semantics gather ops (the fast path's baseline)")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
+    fps = measure_engine(FusionEngine(cfg, mode="icp"), poses, depths, rgbs,
+                         n_warm, n_meas, "icp")
+    return jline("depth_fps_exact_ops_icp_256", fps, "frames/s", 30.0)
+
+
+def bench_mesh(n_frames=6):
+    import jax
+
+    from tsdfjax.config import AppConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionEngine
+    from tsdfjax import mesh as M
+
+    cfg = AppConfig(switches=SwitchConfig(use_color=False))
+    log("mesh: marching cubes 256^3 device time + host weld")
+    poses, depths, _ = make_frames(cfg, n_frames)
+    engine = FusionEngine(cfg, mode="file")
+    for k in range(n_frames):
+        engine.step(depths[k], ext_pose=poses[k])
+    bufs = M.marching_cubes(engine.state.volume, cfg.volume, max_triangles=1_500_000)
+    jax.block_until_ready(bufs.vertices)  # compile outside the timing
+    t0 = time.perf_counter()
+    bufs = M.marching_cubes(engine.state.volume, cfg.volume, max_triangles=1_500_000)
+    n_tris = int(bufs.count)
+    dev_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mesh = M.mesh_from_buffers(bufs)
+    weld_s = time.perf_counter() - t0
+    log(f"  {n_tris} tris: extract {dev_s*1000:.0f} ms, weld {weld_s*1000:.0f} ms "
+        f"({mesh.num_vertices} verts)")
+    total = dev_s + weld_s
+    # baseline: 1 Hz interactive mesh save ('s' key, MainController.cpp:56)
+    return jline("mesh_extract_seconds_256", total, "s", 1.0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--suite", action="store_true",
+                    help="run the full matrix and write BENCH_SUITE.json")
+    ap.add_argument("--suite-out", default="BENCH_SUITE.json")
+    args = ap.parse_args()
+
+    import jax
+
+    log(f"device: {jax.devices()[0]}")
+
+    if not args.suite:
+        print(json.dumps(bench_headline()))
+        return
+
+    lines = []
+    for fn in (bench_headline, bench_color, bench_sdf, bench_512,
+               bench_sharded_n1, bench_exact, bench_mesh):
+        try:
+            lines.append(fn())
+        except Exception as e:  # keep the suite going; record the failure
+            log(f"  FAILED {fn.__name__}: {e}")
+            lines.append({"metric": fn.__name__, "error": str(e)})
+    with open(args.suite_out, "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "results": lines}, f, indent=1)
+    log(f"suite -> {args.suite_out}")
+    for line in lines:
+        log(json.dumps(line))
+    # headline last on stdout (the driver contract: ONE json line)
+    print(json.dumps(lines[0]))
 
 
 if __name__ == "__main__":

@@ -137,3 +137,96 @@ class TestFastSdfTracker:
             results[name] = max(errs)
         # analytic-gradient tracker must be as accurate as the numeric one
         assert results["fast"] < max(2 * results["exact"], 0.02)
+
+
+class TestRelocalization:
+    """End-to-end lost-tracking -> --relocalize-after recovery (the
+    reference instead blocks on a modal keypress, HybKinectfu.cpp:142-147)."""
+
+    def test_lost_then_relocalize(self, ini_path, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from tsdfjax import synthetic as syn
+        from tsdfjax.config import load_ini
+        from tsdfjax.pipeline import initial_pose
+
+        cfg = load_ini(ini_path)
+        cam = cfg.depth_camera
+        scene = syn.default_scene(cfg.volume.size_m)
+        c = cfg.volume.size_m / 2.0
+        radius = c + cfg.preprocess.min_trunc_m
+        target = np.array([c, c, c])
+        poses = [initial_pose(cfg)]
+        for i in range(1, 10):
+            ang = 0.01 * i
+            poses.append(syn.look_at(
+                np.array([c + radius * np.sin(ang), c, c - radius * np.cos(ang)]),
+                target,
+            ))
+        # frames 0-9 coherent orbit (keyframes at 0, 5); frames 10-13
+        # zero depth (forced loss); frames 14-19 re-shot from the LAST
+        # KEYFRAME's pose so the relocalized engine can re-lock
+        seq = poses + [None] * 4 + [poses[5]] * 6
+        root = tmp_path / "seq"
+        (root / "depth").mkdir(parents=True)
+        render = jax.jit(lambda p: syn.render_depth(p, cam, scene))
+        lines = ["# synthetic\n# depth\n# ts file\n"]
+        for i, p in enumerate(seq):
+            ts = 100.0 + i / 30.0
+            if p is None:
+                d16 = np.zeros((cam.height, cam.width), np.uint16)
+            else:
+                d = np.asarray(render(jnp.asarray(p, jnp.float32)))
+                d16 = np.round(d * 5000.0).astype(np.uint16)
+            name = f"depth/{ts:.6f}.png"
+            Image.fromarray(d16).save(root / name)
+            lines.append(f"{ts:.6f} {name}\n")
+        (root / "depth.txt").write_text("".join(lines))
+
+        log = tmp_path / "reloc.jsonl"
+        rc = main([
+            "--config", ini_path, "--dataset", str(root), "--tracker", "icp",
+            "--keyframe-every", "5", "--relocalize-after", "3",
+            "--log-jsonl", str(log),
+        ])
+        assert rc == 0
+        import json
+
+        logs = [json.loads(l) for l in open(log)]
+        assert len(logs) == 20
+        ok = [l["tracking_ok"] for l in logs]
+        assert not any(ok[10:13]), "garbage frames must fail tracking"
+        assert ok[-1] and ok[-2], "post-relocalization frames must re-lock"
+        # the lost streak ends at the relocalize threshold, not the run end
+        assert logs[-1]["lost_count"] <= 5
+
+
+class TestPosegraphWiring:
+    def test_posegraph_every_applies_correction(self, ini_path, tmp_path, capsys):
+        rc = main([
+            "--config", ini_path, "--synthetic", "25", "--tracker", "icp",
+            "--keyframe-every", "5", "--posegraph-every", "10",
+            "--traj-out", str(tmp_path / "traj.txt"),
+        ])
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "pose-graph over" in err, "correction must run and be logged"
+        assert "live correction" in err
+
+
+class TestTextureOutCli:
+    def test_texture_out_writes_obj_mtl(self, tmp_path):
+        ini = tmp_path / "color.ini"
+        ini.write_text(INI.replace("use_color=0", "use_color=1"))
+        tex = tmp_path / "textured_mesh.obj"
+        rc = main([
+            "--config", str(ini), "--synthetic", "6", "--tracker", "file",
+            "--keyframe-every", "2", "--texture-out", str(tex),
+        ])
+        assert rc == 0
+        assert tex.exists() and tex.stat().st_size > 500
+        assert (tmp_path / "textured_mesh.mtl").exists()
+        body = tex.read_text()
+        assert "vt " in body and "usemtl" in body

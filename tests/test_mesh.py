@@ -175,3 +175,62 @@ class TestNativeMeshOps:
         assert back.num_vertices == m.num_vertices
         assert back.num_faces == m.num_faces
         np.testing.assert_allclose(back.vertices, m.vertices, atol=1e-4)
+
+
+class TestAsciiPly:
+    def test_load_ascii_ply(self, tmp_path):
+        """MeshIO.cpp parses ascii PLY too (MeshIO.cpp:7-660); property
+        order is taken from the header, not assumed."""
+        path = tmp_path / "a.ply"
+        path.write_text(
+            "ply\n"
+            "format ascii 1.0\n"
+            "comment made by hand\n"
+            "element vertex 4\n"
+            "property float x\n"
+            "property float y\n"
+            "property float z\n"
+            "property uchar red\n"
+            "property uchar green\n"
+            "property uchar blue\n"
+            "element face 2\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+            "0 0 0 255 0 0\n"
+            "1 0 0 0 255 0\n"
+            "1 1 0 0 0 255\n"
+            "0 1 0 128 128 128\n"
+            "3 0 1 2\n"
+            "3 0 2 3\n"
+        )
+        m = M.load_mesh(str(path))
+        assert m.num_vertices == 4 and m.num_faces == 2
+        np.testing.assert_allclose(m.vertices[2], [1, 1, 0])
+        np.testing.assert_allclose(m.colors[0], [255, 0, 0])
+        np.testing.assert_array_equal(m.faces[1], [0, 2, 3])
+
+    def test_binary_with_normals_first(self, tmp_path):
+        """Binary PLY with a non-x/y/z-leading property layout."""
+        path = tmp_path / "b.ply"
+        hdr = (
+            "ply\nformat binary_little_endian 1.0\n"
+            "element vertex 3\n"
+            "property float nx\nproperty float ny\nproperty float nz\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        v = np.array(
+            [[0, 0, 1, 0, 0, 0], [0, 0, 1, 1, 0, 0], [0, 0, 1, 0, 1, 0]],
+            "<f4",
+        )
+        face = np.empty(1, dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        face["n"] = 3
+        face["idx"] = [[0, 1, 2]]
+        with open(path, "wb") as f:
+            f.write(hdr.encode())
+            f.write(v.tobytes())
+            f.write(face.tobytes())
+        m = M.load_mesh(str(path))
+        np.testing.assert_allclose(m.vertices[1], [1, 0, 0])
+        np.testing.assert_allclose(m.normals[0], [0, 0, 1])

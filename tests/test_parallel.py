@@ -203,6 +203,46 @@ class TestShardedFastMatchesDenseFast:
         np.testing.assert_allclose(mc_s, mc_d, atol=1.0)
 
 
+class TestShardedMeshExtraction:
+    """Distributed marching cubes (SURVEY §7 step 8): per-shard extraction
+    on the 1-voxel-halo slab + host concat + weld must equal the dense
+    extraction EXACTLY (same soup order -> same welded mesh)."""
+
+    def test_equals_dense(self, mesh8):
+        from tsdfjax import mesh as M
+
+        cfg = par_config(fast_ops=True, switches=SwitchConfig(use_color=True))
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = fly_through(cfg, 3, arc=0.1)
+        dense = FusionEngine(cfg, mode="file")
+        shard = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        for pose in poses:
+            d = syn.render_depth(pose, cfg.depth_camera, scene)
+            r = syn.render_rgb(pose, cfg.depth_camera, scene)
+            dense.step(d, rgb=r, ext_pose=pose)
+            shard.step(d, rgb=r, ext_pose=pose)
+        m_d = M.extract_mesh(dense.state.volume, cfg.volume, with_color=True)
+        m_s = shard.extract_mesh(with_color=True)
+        assert m_d.num_faces > 1000
+        np.testing.assert_array_equal(m_s.vertices, m_d.vertices)
+        np.testing.assert_array_equal(m_s.faces, m_d.faces)
+        np.testing.assert_allclose(m_s.colors, m_d.colors, atol=1e-4)
+
+    def test_overflow_reported(self, mesh8):
+        from tsdfjax.parallel import marching_cubes_sharded
+
+        cfg = par_config(fast_ops=True)
+        scene = syn.default_scene(cfg.volume.size_m)
+        pose = fly_through(cfg, 1)[0]
+        shard = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        shard.step(syn.render_depth(pose, cfg.depth_camera, scene), ext_pose=pose)
+        v, c, overflow = marching_cubes_sharded(
+            shard.state.volume, cfg.volume, mesh8, max_triangles_per_shard=10
+        )
+        assert overflow > 0
+        assert v.shape[0] <= 8 * 10
+
+
 class TestHaloExchange:
     def test_extended_slab_reconstructs_neighbors(self, mesh8):
         from functools import partial
@@ -237,3 +277,102 @@ class TestHaloExchange:
                 np.testing.assert_array_equal(ext[i, halo + 8 :], fullnp[lo + 8 : lo + 8 + halo])
             else:
                 np.testing.assert_array_equal(ext[i, halo + 8 :], 0.0)
+
+
+class TestShardedCheckpoint:
+    def test_roundtrip_per_shard_files(self, mesh8, tmp_path):
+        import os
+
+        cfg = par_config(fast_ops=True)
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = fly_through(cfg, 3, arc=0.1)
+        shard = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        for pose in poses:
+            shard.step(syn.render_depth(pose, cfg.depth_camera, scene), ext_pose=pose)
+        ckpt = str(tmp_path / "ckpt")
+        shard.save_checkpoint(ckpt)
+        # one slab file per shard per volume leaf
+        assert len([f for f in os.listdir(ckpt) if f.startswith("tsdf_x")]) == 8
+
+        fresh = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        fresh.load_checkpoint(ckpt)
+        np.testing.assert_array_equal(
+            np.asarray(fresh.state.volume.tsdf), np.asarray(shard.state.volume.tsdf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fresh.state.pose), np.asarray(shard.state.pose)
+        )
+        assert int(fresh.state.frame_id) == 3
+        # the restored engine keeps fusing identically to the original
+        d = syn.render_depth(poses[-1], cfg.depth_camera, scene)
+        da = shard.step(d, ext_pose=poses[-1])
+        db = fresh.step(d, ext_pose=poses[-1])
+        np.testing.assert_array_equal(
+            np.asarray(fresh.state.volume.tsdf), np.asarray(shard.state.volume.tsdf)
+        )
+
+    def test_mismatched_config_rejected(self, mesh8, tmp_path):
+        cfg = par_config(fast_ops=True)
+        shard = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        ckpt = str(tmp_path / "ckpt")
+        shard.save_checkpoint(ckpt)
+        other = ShardedFusion(
+            par_config(fast_ops=True, volume=VolumeConfig(resolution=32, size_m=2.0)),
+            mesh=mesh8, mode="file",
+        )
+        with pytest.raises(ValueError):
+            other.load_checkpoint(ckpt)
+
+
+class TestClippedExactRaycast:
+    def test_clip_reduces_steps_same_claims(self):
+        """The exact raycast with own_x_range clips each ray's march to
+        the shard slab's t-interval (generalized slab test,
+        raycastingVolume.cu:45-63): same claims, fewer executed steps."""
+        import math
+
+        from tsdfjax import raycast as R
+        from tsdfjax import volume as V
+        from tsdfjax import frames as F
+
+        cfg = par_config()
+        scene = syn.default_scene(cfg.volume.size_m)
+        c = cfg.volume.size_m / 2.0
+        # side view along +x so the x-slab clip actually bites
+        pose = syn.look_at(
+            np.array([c - (c + 0.3), c, c]), np.array([c, c, c])
+        )
+        depth = syn.render_depth(pose, cfg.depth_camera, scene)
+        vol = V.allocate(cfg.volume)
+        _, _, verts, normals = F.preprocess_depth(
+            depth, cfg.depth_camera, 0.3, 4.0, 1.0, 0.02
+        )
+        vol, _ = V.integrate(
+            vol, depth, normals, None, jnp.asarray(pose), cfg.depth_camera,
+            cfg.rgb_camera, cfg.volume, cfg.integrate,
+        )
+        args = (vol, jnp.asarray(pose), cfg.depth_camera, cfg.volume,
+                cfg.raycast.ray_increment_m, 0.3, 4.0)
+        full, steps_full = R.raycast(*args, return_steps=True)
+        own = (0.9, 1.4)
+        clip, steps_clip = R.raycast(*args, own_x_range=own, return_steps=True)
+        n_bound = int(math.ceil(math.sqrt(3.0) * cfg.volume.size_m
+                                / cfg.raycast.ray_increment_m)) + 1
+        assert int(steps_clip) < int(steps_full) * 0.7, (
+            int(steps_clip), int(steps_full), n_bound)
+        # claims agree wherever the dense hit's SAMPLE position (the claim
+        # gate's own metric) lies inside the owned range, with a one-step
+        # margin to stay off the boundary-tie cases
+        from tsdfjax.raycast import _ray_directions
+
+        wd, _ = _ray_directions(jnp.asarray(pose), cfg.depth_camera)
+        step = cfg.raycast.ray_increment_m
+        f_hit = np.asarray(full.found)
+        f_t = np.asarray(full.hit_t)
+        px = pose[0, 3] + np.asarray(wd)[..., 0] * f_t
+        in_own = f_hit & (px >= own[0] + step) & (px < own[1] - step)
+        assert in_own.sum() > 100, "scene must have hits inside the slab"
+        c_hit = np.asarray(clip.found)
+        c_t = np.asarray(clip.hit_t)
+        assert c_hit[in_own].all()
+        np.testing.assert_allclose(c_t[in_own], f_t[in_own], atol=1e-6)

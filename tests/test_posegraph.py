@@ -140,3 +140,24 @@ class TestTexturing:
         # a healthy fraction of faces should be textured by the keyframe
         tex_faces = content.count("/")
         assert tex_faces > 100
+
+
+class TestCorrectionFor:
+    def test_matches_injected_drift(self):
+        g, gt, est = noisy_circle_graph()
+        g.optimize(iters=10)
+        corr = g.correction_for(len(gt) - 1)
+        fixed = corr @ est[-1]
+        before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+        after = np.linalg.norm(fixed[:3, 3] - gt[-1][:3, 3])
+        assert after < before * 0.3, (before, after)
+
+    def test_requires_optimize(self):
+        from tsdfjax.posegraph import PoseGraph
+
+        g = PoseGraph()
+        g.add_node(np.eye(4, dtype=np.float32))
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            g.correction_for(0)

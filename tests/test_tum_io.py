@@ -119,3 +119,24 @@ class TestAte:
             est.append((float(i), q))
         rmse = tum.ate_rmse(est, gt)
         assert 0.01 < rmse < 0.2
+
+
+class TestPyrDown:
+    def test_gaussian_kernel_semantics(self):
+        """The resize filter is cv::pyrDown's 5-tap Gaussian, not a strided
+        pick: a delta spreads into the binomial stencil."""
+        img = np.zeros((16, 16), np.float32)
+        img[8, 8] = 16.0
+        out = tum.TumDataset._pyr_down(img)
+        assert out.shape == (8, 8)
+        # delta at (8,8) -> even output (4,4) gets k[2]^2 * 16 = (6/16)^2*16
+        np.testing.assert_allclose(out[4, 4], (6 / 16) ** 2 * 16, rtol=1e-6)
+        np.testing.assert_allclose(out[4, 3], (6 / 16) * (1 / 16) * 16, rtol=1e-6)
+        np.testing.assert_allclose(out.sum(), 16.0 * 0.25, rtol=1e-2)
+
+    def test_constant_preserved(self, tmp_path):
+        write_fake_tum(str(tmp_path))
+        ds = tum.TumDataset(str(tmp_path), target_size=(16, 12))
+        fr = ds[0]
+        assert fr.depth_m.shape == (12, 16)
+        assert fr.rgb.shape == (12, 16, 3)

@@ -135,6 +135,7 @@ def write_ini(path: str, volume_res: int, tracker: str, size_m: float = 2.0,
         "[mesh]",
         f"max_triangle_num={max_triangles}",
         "[IO]",
+        "mesh_filename=",  # no automatic end-of-run mesh for tracker runs
     ]
     if fast is not None:
         lines += ["[tsdfjax]",
@@ -157,7 +158,14 @@ def main() -> int:
     ap.add_argument("--configs", default="1,2,3",
                     help="comma list out of 1,2,3,4,5")
     ap.add_argument("--workdir", default="output/baseline")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "ignores JAX_PLATFORMS, so this must be a flag)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     configs = {int(x) for x in args.configs.split(",")}
     os.makedirs(args.workdir, exist_ok=True)
 

@@ -33,9 +33,21 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="override tracker selection from the config switches")
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
     p.add_argument("--mesh-out", help="save marching-cubes mesh here at the end")
+    p.add_argument("--texture-out",
+                   help="save a keyframe-textured mesh (OBJ+MTL+PNGs) here at "
+                        "the end (the reference's textured_mesh.obj path, "
+                        "MeshGeneratorMarchingcube.cpp~:316-401)")
     p.add_argument("--traj-out", help="record TUM trajectory here")
     p.add_argument("--groundtruth", help="groundtruth.txt for file mode / final ATE")
     p.add_argument("--keyframe-dir", help="dump keyframes here at the end")
+    p.add_argument("--keyframe-every", type=int, default=100,
+                   help="keyframe interval in frames (the reference hardcodes "
+                        "100, HybKinectfu.cpp:125-128)")
+    p.add_argument("--posegraph-every", type=int, default=0,
+                   help="every N frames, optimize the keyframe pose graph "
+                        "(odometry chain + ICP loop closures) and apply the "
+                        "last-node drift correction to the live pose "
+                        "(0 disables; SURVEY.md §5 long-context analog)")
     p.add_argument("--checkpoint", help="save checkpoint here at the end")
     p.add_argument("--resume", help="resume from this checkpoint")
     p.add_argument("--debug-dir", help="dump debug PNGs here")
@@ -132,7 +144,7 @@ def main(argv=None) -> int:
 
     # ---------------- frame loop ----------------
     logger = RunLogger(jsonl_path=args.log_jsonl)
-    kfman = KeyframeManager()
+    kfman = KeyframeManager(interval=max(args.keyframe_every, 1))
     traj = tum.TrajectoryWriter(args.traj_out) if args.traj_out else None
     estimated = []
     n_done = 0
@@ -151,16 +163,16 @@ def main(argv=None) -> int:
             if (
                 args.relocalize_after
                 and consecutive_lost >= args.relocalize_after
-                and kfman.last() is not None
+                and kfman.last is not None
             ):
                 # Relocalize: reset to the last keyframe's pose and retry
                 # from there (SURVEY.md §5 — the reference has no recovery,
                 # it blocks on a modal keypress on loss).
                 engine.state = engine.state._replace(
-                    pose=jnp.asarray(kfman.last().pose, jnp.float32)
+                    pose=jnp.asarray(kfman.last.pose, jnp.float32)
                 )
                 print(f"frame {frame_id}: relocalized to keyframe "
-                      f"{kfman.last().frame_id}", file=sys.stderr)
+                      f"{kfman.last.frame_id}", file=sys.stderr)
                 consecutive_lost = 0
             if ok:
                 kfman.maybe_add(frame_id, ts, pose_np,
@@ -169,6 +181,34 @@ def main(argv=None) -> int:
                 if traj:
                     traj.record(pose_np, ts)
                 estimated.append((ts, pose_np))
+            if (
+                args.posegraph_every
+                and mode in ("icp", "sdf")
+                and n_done > 0
+                and n_done % args.posegraph_every == 0
+                and len(kfman) >= 3
+            ):
+                # Optimize the keyframe graph and pull the live pose by the
+                # last node's drift estimate; keyframe poses re-anchor to
+                # the optimized solution so later graphs build on it.
+                from tsdfjax.posegraph import build_keyframe_graph
+
+                g = build_keyframe_graph(
+                    list(kfman), cfg.depth_camera, cfg.icp, cfg.preprocess
+                )
+                opt = g.optimize()
+                corr = g.correction_for(len(opt) - 1)
+                dt_corr = float(np.linalg.norm(corr[:3, 3]))
+                engine.state = engine.state._replace(
+                    pose=jnp.asarray(
+                        corr @ np.asarray(engine.state.pose), jnp.float32
+                    )
+                )
+                for k, kf in enumerate(kfman):
+                    kf.pose = opt[k]
+                print(f"frame {frame_id}: pose-graph over {len(opt)} keyframes, "
+                      f"live correction |t| = {dt_corr*1000:.1f} mm",
+                      file=sys.stderr)
             fl = FrameLog(
                 frame_id=frame_id, timestamp=ts, tracking_ok=ok,
                 tracker_residual=float(diag.tracker_residual),
@@ -207,7 +247,7 @@ def main(argv=None) -> int:
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
 
     mesh_path = args.mesh_out or (cfg.io.mesh_filename if args.config else None)
-    if mesh_path:
+    if mesh_path or args.texture_out:
         from tsdfjax import mesh as M
 
         t0 = time.perf_counter()
@@ -216,9 +256,18 @@ def main(argv=None) -> int:
             max_triangles=cfg.marching_cubes.max_triangles,
             with_color=cfg.switches.use_color,
         )
-        M.save_mesh(mesh, mesh_path)
-        print(f"mesh: {mesh.num_vertices} verts / {mesh.num_faces} faces -> "
-              f"{mesh_path} ({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+        if mesh_path:
+            M.save_mesh(mesh, mesh_path)
+            print(f"mesh: {mesh.num_vertices} verts / {mesh.num_faces} faces -> "
+                  f"{mesh_path} ({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
+        if args.texture_out:
+            from tsdfjax.texturing import save_textured_mesh
+
+            t1 = time.perf_counter()
+            save_textured_mesh(mesh, kfman, cfg.depth_camera, args.texture_out)
+            print(f"textured mesh ({len(kfman)} keyframe cameras) -> "
+                  f"{args.texture_out} ({time.perf_counter()-t1:.1f}s)",
+                  file=sys.stderr)
 
     if gt_path and estimated and mode != "file" and os.path.exists(gt_path):
         gt = tum.read_trajectory(gt_path)

@@ -112,9 +112,25 @@ class TumDataset:
     def __len__(self) -> int:
         return len(self.assoc)
 
+    @staticmethod
+    def _pyr_down(img: np.ndarray) -> np.ndarray:
+        """One cv::pyrDown step: separable 5-tap Gaussian [1,4,6,4,1]/16
+        with edge-reflect borders, then decimate by 2 — the reference's
+        resize filter (DataSourceProducerRGBDDataset.cpp:112-120 calls
+        cv::pyrDown on both depth and rgb mats)."""
+        k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+        squeeze = img.ndim == 2
+        x = img[..., None] if squeeze else img
+        pad = np.pad(x, ((2, 2), (2, 2), (0, 0)), mode="reflect").astype(np.float64)
+        # convolve along rows then cols
+        rows = sum(k[i] * pad[i : i + x.shape[0], :, :] for i in range(5))
+        cols = sum(k[i] * rows[:, i : i + x.shape[1], :] for i in range(5))
+        out = cols[::2, ::2]
+        return out[..., 0] if squeeze else out
+
     def _maybe_resize(self, img: np.ndarray, is_depth: bool) -> np.ndarray:
-        """Halve resolution like the reference's pyrDown path when config
-        resolution != file resolution
+        """Gaussian pyrDown to the config resolution when it differs from
+        the file resolution, like the reference
         (DataSourceProducerRGBDDataset.cpp:112-120)."""
         if self.target_size is None:
             return img
@@ -122,12 +138,12 @@ class TumDataset:
         h, w = img.shape[:2]
         if (w, h) == (tw, th):
             return img
-        fy, fx = h // th, w // tw
-        if fy >= 1 and fx >= 1 and h % th == 0 and w % tw == 0:
-            if is_depth:
-                return img[::fy, ::fx]
-            return img.reshape(th, fy, tw, fx, -1).mean(axis=(1, 3))
-        raise ValueError(f"cannot resize {(w, h)} -> {(tw, th)}")
+        while h > th and w > tw and h % 2 == 0 and w % 2 == 0:
+            img = self._pyr_down(img)
+            h, w = img.shape[:2]
+        if (w, h) != (tw, th):
+            raise ValueError(f"cannot resize {(w, h)} -> {(tw, th)}")
+        return img.astype(np.float32)
 
     def __getitem__(self, i: int) -> TumFrame:
         t_d, f_d, t_r, f_r = self.assoc[i]

@@ -69,39 +69,49 @@ def _pick_slab(n_cells: int, target: int = 8) -> int:
     return 1
 
 
-@partial(jax.jit, static_argnames=("vol_cfg", "max_triangles", "with_color", "slab"))
-def marching_cubes(
-    volume: TsdfVolume,
+def _marching_cubes_impl(
+    tsdf: Array,
+    weight: Array,
+    color: Array,
     vol_cfg: VolumeConfig,
-    max_triangles: int = 1_500_000,
-    iso_threshold: float | None = None,
-    with_color: bool = False,
-    slab: int | None = None,
+    max_triangles: int,
+    iso_threshold: float | None,
+    with_color: bool,
+    slab: int | None,
+    x0: Array | int = 0,
+    axis_name: str | None = None,
 ) -> MeshBuffers:
-    """Extract the zero isosurface as a triangle soup."""
+    """Core extraction over an x-slab of the volume.
+
+    The arrays span voxel x in [x0, x0 + nx) globally (x0 traced); cells
+    with base x in [x0, x0 + nx - 1) are extracted. The dense path passes
+    the full (R, R, R) arrays with x0 = 0; the sharded path passes each
+    shard's slab extended by ONE right-halo voxel slice (corner reads
+    cross the face), so every global cell is extracted by exactly one
+    shard and the concatenated soups equal the dense soup."""
     res = vol_cfg.resolution
     cell = vol_cfg.voxel_size_m
-    n_cells = res - 1
+    n_cells_x = tsdf.shape[0] - 1
+    n_cells = res - 1  # y/z cell extent (always the full volume)
     if iso_threshold is None:
         iso_threshold = 300.0 * cell  # MeshGeneratorMarchingcube.cpp:26-27
     if slab is None:
-        slab = _pick_slab(n_cells)
-    assert n_cells % slab == 0, "slab must divide res-1"
-    n_slabs = n_cells // slab
+        slab = _pick_slab(n_cells_x)
+    assert n_cells_x % slab == 0, "slab must divide the x cell extent"
+    n_slabs = n_cells_x // slab
 
     tri_table = jnp.asarray(TRI_TABLE)
     tri_count = jnp.asarray(TRI_COUNT)
     edge_corners = jnp.asarray(EDGE_CORNERS)
     corner_off = jnp.asarray(_CORNER_OFFSETS)
+    x0f = jnp.asarray(x0, jnp.float32)
 
-    tsdf = volume.tsdf
-    weight = volume.weight
-    color = volume.color
-
-    def slab_tris(x_start):
-        """Per-slab: (slab*(res-1)^2 * MAX_TRIS,) candidate triangles with
-        validity + per-candidate index, then local compaction offsets."""
-        # corner fields for cells with x in [x_start, x_start+slab)
+    def slab_fields(x_start):
+        """Per-slab cell fields WITHOUT candidate expansion: case index,
+        per-cell triangle counts, and the 12 interpolated edge vertices
+        (+ colors) per cell. Triangle rows are only materialized for
+        COMPACTED slots in scan_body (the old path expanded all
+        cells*MAX_TRIS candidates and was gather/scatter-bound)."""
         xs = x_start
         t_slab = jax.lax.dynamic_slice_in_dim(tsdf, xs, slab + 1, 0)
         w_slab = jax.lax.dynamic_slice_in_dim(weight, xs, slab + 1, 0)
@@ -127,10 +137,12 @@ def marching_cubes(
         ntri = tri_count[case]  # (slab, n, n)
 
         # world positions of the 8 corners (voxel centers)
-        cx = (ix + xs).astype(jnp.float32)
+        cx = (ix + xs).astype(jnp.float32) + x0f
         base = jnp.stack([cx, iy.astype(jnp.float32), iz.astype(jnp.float32)], axis=-1)
         cpos = (base[..., None, :] + corner_off.astype(jnp.float32) + 0.5) * cell
-        # (slab, n, n, 12, 3) edge vertices
+        # (slab, n, n, 12, 3) edge vertices. The jnp.take calls index a
+        # constant-size-8/12 axis with constant indices -> XLA lowers them
+        # to slices, not gathers.
         a_idx = edge_corners[:, 0]
         b_idx = edge_corners[:, 1]
         va = jnp.take(ct, a_idx, axis=-1)
@@ -156,62 +168,97 @@ def marching_cubes(
             cb = jnp.take(cc, b_idx, axis=-2)
             ecolors = ca + mu[..., None] * (cb - ca)
         else:
-            ecolors = jnp.zeros_like(everts)
+            ecolors = jnp.zeros((*shape, 12, 3), jnp.float32)
 
-        # candidate triangles: (cells, MAX_TRIS, 3) edge ids from the table
-        tt = tri_table[case]  # (slab, n, n, MAX*3)
-        tt = tt.reshape(*shape, MAX_TRIS_PER_CELL, 3)
-        valid_tri = (
-            jax.lax.broadcasted_iota(jnp.int32, (*shape, MAX_TRIS_PER_CELL), 3)
-            < ntri[..., None]
+        m = slab * n_cells * n_cells
+        return (
+            ntri.reshape(m),
+            case.reshape(m),
+            everts.reshape(m, 12, 3),
+            ecolors.reshape(m, 12, 3),
         )
-        safe_tt = jnp.maximum(tt, 0)
-        # gather the 3 edge-vertices of each candidate triangle:
-        # everts (..., 12, 3) indexed by safe_tt (..., MAX, 3)
-        tv = jnp.take_along_axis(
-            jnp.broadcast_to(
-                everts[..., None, :, :], (*shape, MAX_TRIS_PER_CELL, 12, 3)
-            ),
-            jnp.broadcast_to(safe_tt[..., :, None], (*shape, MAX_TRIS_PER_CELL, 3, 1)).astype(jnp.int32),
-            axis=-2,
-        )
-        tc = jnp.take_along_axis(
-            jnp.broadcast_to(
-                ecolors[..., None, :, :], (*shape, MAX_TRIS_PER_CELL, 12, 3)
-            ),
-            jnp.broadcast_to(safe_tt[..., :, None], (*shape, MAX_TRIS_PER_CELL, 3, 1)).astype(jnp.int32),
-            axis=-2,
-        )
-        flat_valid = valid_tri.reshape(-1)
-        flat_tv = tv.reshape(-1, 3, 3)
-        flat_tc = tc.reshape(-1, 3, 3)
-        return flat_valid, flat_tv, flat_tc
 
-    out_v = jnp.zeros((max_triangles, 3, 3), jnp.float32)
-    out_c = jnp.zeros((max_triangles, 3, 3), jnp.float32)
+    # Stream compaction instead of full-candidate scatter: a slab has
+    # slab*(res-1)^2 cells but only ~surface-area many real triangles,
+    # and TPU gather/scatter cost scales with the candidate volume (the
+    # old expand-all + `.at[dest].set` path took 21 s at 256^3 on one
+    # v5e). Triangle s of a slab lives in the cell found by binary search
+    # on the inclusive cumsum of per-cell counts; only the <= tri_cap
+    # winners gather their table rows and edge vertices, and the block is
+    # written with ONE contiguous dynamic_update_slice at the running
+    # total — no scatter anywhere. `tri_cap` bounds triangles per slab
+    # step: 2*(res-1)^2 covers a full plane-parallel wall (the worst
+    # case); anything beyond is dropped and counted in overflow.
+    m_cells = slab * n_cells * n_cells
+    tri_cap = min(2 * n_cells * n_cells, m_cells * MAX_TRIS_PER_CELL)
+    slots = jnp.arange(tri_cap, dtype=jnp.int32)
+    tri_table_flat = tri_table.reshape(256, MAX_TRIS_PER_CELL, 3)
+
+    # output padded by tri_cap: each step writes a full tri_cap block at
+    # the running total; rows past the step's real count are zeros that
+    # the NEXT step overwrites, and rows past max_triangles land in the
+    # pad (the reference's drop-at-capacity, config.ini:48)
+    out_v = jnp.zeros((max_triangles + tri_cap, 3, 3), jnp.float32)
+    out_c = jnp.zeros((max_triangles + tri_cap, 3, 3), jnp.float32)
+    total0 = jnp.array(0, jnp.int32)
+    dropped0 = jnp.array(0, jnp.int32)
+    if axis_name is not None:
+        # under shard_map the carry reads the sharded slab -> varying
+        out_v, out_c, total0, dropped0 = jax.lax.pvary(
+            (out_v, out_c, total0, dropped0), axis_name
+        )
 
     def scan_body(carry, x_start):
-        out_v, out_c, total = carry
-        flat_valid, flat_tv, flat_tc = slab_tris(x_start)
-        # exclusive cumsum -> local offsets; global offset = running total
-        local_off = jnp.cumsum(flat_valid.astype(jnp.int32)) - flat_valid.astype(jnp.int32)
-        dest = total + local_off
-        dest = jnp.where(flat_valid & (dest < max_triangles), dest, max_triangles)
-        # scatter with drop-at-capacity (mode='drop' for index==max)
-        out_v = out_v.at[dest].set(flat_tv, mode="drop")
-        out_c = out_c.at[dest].set(flat_tc, mode="drop")
-        total = total + jnp.sum(flat_valid.astype(jnp.int32))
-        return (out_v, out_c, total), None
+        out_v, out_c, total, dropped = carry
+        ntri, case_f, everts, ecolors = slab_fields(x_start)
+        ccum = jnp.cumsum(ntri)  # (m_cells,) inclusive
+        n_val = ccum[-1]
+        # cell of the (s+1)-th triangle; its index within the cell
+        cell_idx = jnp.searchsorted(ccum, slots + 1, side="left")
+        cell_idx = jnp.minimum(cell_idx, m_cells - 1)
+        t_base = ccum[cell_idx] - ntri[cell_idx]
+        t_in = jnp.clip(slots - t_base, 0, MAX_TRIS_PER_CELL - 1)
+        slot_ok = slots < jnp.minimum(n_val, tri_cap)
+        # edge ids of the winning triangles from the case table
+        tt = tri_table_flat[case_f[cell_idx]]  # (tri_cap, MAX, 3)
+        e3 = jnp.take_along_axis(tt, t_in[:, None, None], axis=1)[:, 0]  # (tri_cap, 3)
+        e3 = jnp.maximum(e3, 0).astype(jnp.int32)
+        flat_ev = (cell_idx[:, None] * 12 + e3).reshape(-1)  # (tri_cap*3,)
+        rows_v = everts.reshape(-1, 3)[flat_ev].reshape(tri_cap, 3, 3)
+        rows_c = ecolors.reshape(-1, 3)[flat_ev].reshape(tri_cap, 3, 3)
+        rows_v = jnp.where(slot_ok[:, None, None], rows_v, 0.0)
+        rows_c = jnp.where(slot_ok[:, None, None], rows_c, 0.0)
+        offset = jnp.minimum(total, max_triangles)
+        out_v = jax.lax.dynamic_update_slice(out_v, rows_v, (offset, 0, 0))
+        out_c = jax.lax.dynamic_update_slice(out_c, rows_c, (offset, 0, 0))
+        written = jnp.minimum(n_val, tri_cap)
+        return (out_v, out_c, total + written, dropped + n_val - written), None
 
     x_starts = jnp.arange(n_slabs, dtype=jnp.int32) * slab
-    (out_v, out_c, total), _ = jax.lax.scan(
-        scan_body, (out_v, out_c, jnp.array(0, jnp.int32)), x_starts
+    (out_v, out_c, total, dropped), _ = jax.lax.scan(
+        scan_body, (out_v, out_c, total0, dropped0), x_starts
     )
 
     count = jnp.minimum(total, max_triangles)
     return MeshBuffers(
-        vertices=out_v, colors=out_c, count=count,
-        overflow=jnp.maximum(total - max_triangles, 0),
+        vertices=out_v[:max_triangles], colors=out_c[:max_triangles], count=count,
+        overflow=dropped + jnp.maximum(total - max_triangles, 0),
+    )
+
+
+@partial(jax.jit, static_argnames=("vol_cfg", "max_triangles", "with_color", "slab"))
+def marching_cubes(
+    volume: TsdfVolume,
+    vol_cfg: VolumeConfig,
+    max_triangles: int = 1_500_000,
+    iso_threshold: float | None = None,
+    with_color: bool = False,
+    slab: int | None = None,
+) -> MeshBuffers:
+    """Extract the zero isosurface as a triangle soup (dense volume)."""
+    return _marching_cubes_impl(
+        volume.tsdf, volume.weight, volume.color, vol_cfg, max_triangles,
+        iso_threshold, with_color, slab,
     )
 
 
@@ -568,21 +615,44 @@ def _load_ply(path: str) -> Mesh:
                 props.append((parts[-1], parts[1]))
             elif line == "end_header":
                 break
-        if fmt != "binary_little_endian":
-            raise ValueError("only binary_little_endian ply supported")
-        np_map = {"float": "<f4", "uchar": "u1", "double": "<f8", "int": "<i4"}
-        dtype = np.dtype([(name, np_map[t]) for name, t in props])
-        vdata = np.frombuffer(f.read(dtype.itemsize * n_v), dtype=dtype)
+        np_map = {
+            "float": "<f4", "float32": "<f4", "double": "<f8", "float64": "<f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "<i2", "int16": "<i2", "ushort": "<u2", "uint16": "<u2",
+            "int": "<i4", "int32": "<i4", "uint": "<u4", "uint32": "<u4",
+        }
+        if fmt == "ascii":
+            # MeshIO.cpp parses ascii PLY line-by-line with arbitrary
+            # vertex property layouts; mirror that via the header's
+            # property order
+            names = [name for name, _t in props]
+            vrows = np.array(
+                [f.readline().decode().split() for _ in range(n_v)], np.float64
+            ).reshape(n_v, len(names))
+            vdata = {name: vrows[:, k] for k, name in enumerate(names)}
+            faces = np.array(
+                [f.readline().decode().split()[1:4] for _ in range(n_f)],
+                np.int64,
+            ).reshape(n_f, 3)
+        elif fmt == "binary_little_endian":
+            dtype = np.dtype([(name, np_map[t]) for name, t in props])
+            vrec = np.frombuffer(f.read(dtype.itemsize * n_v), dtype=dtype)
+            vdata = {name: vrec[name] for name, _t in props}
+            fdt = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
+            fdata = np.frombuffer(f.read(fdt.itemsize * n_f), dtype=fdt)
+            faces = fdata["idx"]
+        else:
+            raise ValueError(f"unsupported ply format {fmt!r}")
         verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=1)
         colors = None
-        if "red" in vdata.dtype.names:
-            colors = np.stack([vdata["red"], vdata["green"], vdata["blue"]], axis=1).astype(np.float32)
+        if "red" in vdata:
+            colors = np.stack(
+                [vdata["red"], vdata["green"], vdata["blue"]], axis=1
+            ).astype(np.float32)
         normals = None
-        if "nx" in vdata.dtype.names:
+        if "nx" in vdata:
             normals = np.stack([vdata["nx"], vdata["ny"], vdata["nz"]], axis=1)
-        fdt = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
-        fdata = np.frombuffer(f.read(fdt.itemsize * n_f), dtype=fdt)
-        return Mesh(verts, fdata["idx"], colors, normals)
+        return Mesh(verts, faces, colors, normals)
 
 
 def _save_off(mesh: Mesh, path: str) -> None:

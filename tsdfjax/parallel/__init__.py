@@ -12,6 +12,8 @@ equations, and first-hit min-combination for distributed raycast.
 from tsdfjax.parallel.sharded import (
     HALO_DEFAULT,
     ShardedFusion,
+    extract_mesh_sharded,
     make_space_mesh,
+    marching_cubes_sharded,
     required_halo,
 )

@@ -377,3 +377,116 @@ class ShardedFusion:
             jnp.asarray(rgb, jnp.float32), jnp.asarray(ext_pose, jnp.float32),
         )
         return diag
+
+    def extract_mesh(self, max_triangles: int = 1_500_000,
+                     with_color: bool | None = None,
+                     compute_normals: bool = True):
+        """Distributed marching cubes on the current sharded volume."""
+        return extract_mesh_sharded(
+            self.state.volume, self.cfg.volume, self.mesh,
+            max_triangles=max_triangles,
+            with_color=self.with_color if with_color is None else with_color,
+            compute_normals=compute_normals,
+        )
+
+    def save_checkpoint(self, dir_path: str) -> None:
+        """Per-shard slab checkpoint (each host writes only what it owns)."""
+        from tsdfjax.checkpoint import save_state_sharded
+
+        save_state_sharded(dir_path, self.state, self.cfg)
+
+    def load_checkpoint(self, dir_path: str) -> None:
+        from tsdfjax.checkpoint import load_state_sharded
+
+        self.state = load_state_sharded(dir_path, self.cfg, self.mesh)
+
+
+# ---------------------------------------------------------------------------
+# distributed mesh extraction (SURVEY.md §7 step 8: per-shard marching
+# cubes on the 1-voxel-halo-extended slab, host-side concat, then the
+# usual weld — marchingcube.cu:138-153 + MeshGeneratorMarchingcube.cpp)
+# ---------------------------------------------------------------------------
+
+
+def marching_cubes_sharded(
+    volume: V.TsdfVolume,
+    vol_cfg,
+    device_mesh: Mesh,
+    max_triangles_per_shard: int,
+    with_color: bool = False,
+    iso_threshold: float | None = None,
+):
+    """Per-shard triangle soups: returns host numpy
+    (soup_vertices (M,3,3), soup_colors (M,3,3), overflow:int) where the
+    concatenated soup is ordered exactly like the dense x-major scan (so
+    the welded mesh is identical to the dense extraction's)."""
+    from tsdfjax.mesh import _marching_cubes_impl
+
+    n = device_mesh.devices.size
+    res = vol_cfg.resolution
+    block = res // n
+
+    def body(tsdf, weight, color):
+        idx = jax.lax.axis_index("space")
+        # one right-halo voxel slice: cells with base x at the slab's last
+        # owned voxel read corners from the neighbor; the global top shard
+        # pads zeros (weight 0 -> the phantom cell row is never observed)
+        def right_halo(a):
+            bwd = [(i + 1, i) for i in range(n - 1)]
+            from_right = jax.lax.ppermute(a[:1], "space", bwd)
+            from_right = jnp.where(
+                idx == n - 1, jnp.zeros_like(from_right), from_right
+            )
+            return jnp.concatenate([a, from_right], axis=0)
+
+        buf = _marching_cubes_impl(
+            right_halo(tsdf), right_halo(weight), right_halo(color), vol_cfg,
+            max_triangles_per_shard, iso_threshold, with_color, None,
+            x0=idx * block, axis_name="space",
+        )
+        return (buf.vertices, buf.colors, buf.count[None], buf.overflow[None])
+
+    smapped = shard_map(
+        body, mesh=device_mesh,
+        in_specs=(P("space"), P("space"), P("space")),
+        out_specs=(P("space"), P("space"), P("space"), P("space")),
+    )
+    v, c, counts, overflow = jax.jit(smapped)(
+        volume.tsdf, volume.weight, volume.color
+    )
+    v = np.asarray(v).reshape(n, max_triangles_per_shard, 3, 3)
+    c = np.asarray(c).reshape(n, max_triangles_per_shard, 3, 3)
+    counts = np.asarray(counts)
+    soup_v = np.concatenate([v[i, : counts[i]] for i in range(n)], axis=0)
+    soup_c = np.concatenate([c[i, : counts[i]] for i in range(n)], axis=0)
+    return soup_v, soup_c, int(np.asarray(overflow).sum())
+
+
+def extract_mesh_sharded(
+    volume: V.TsdfVolume,
+    vol_cfg,
+    device_mesh: Mesh,
+    max_triangles: int = 1_500_000,
+    with_color: bool = False,
+    compute_normals: bool = True,
+    merge_eps: float = 1e-4,
+):
+    """One-call distributed pipeline: per-shard marching cubes -> host
+    concat -> weld -> normals. Equals tsdfjax.mesh.extract_mesh on the
+    same (gathered) volume."""
+    from tsdfjax.mesh import Mesh as TriMesh, weld_mesh, compute_vertex_normals
+
+    n = device_mesh.devices.size
+    per_shard = -(-max_triangles // n)
+    soup_v, soup_c, overflow = marching_cubes_sharded(
+        volume, vol_cfg, device_mesh, per_shard, with_color=with_color
+    )
+    mesh = weld_mesh(
+        soup_v.reshape(-1, 3), soup_c.reshape(-1, 3) if with_color else None,
+        merge_eps,
+    )
+    if not with_color:
+        mesh.colors = None
+    if compute_normals:
+        compute_vertex_normals(mesh)
+    return mesh

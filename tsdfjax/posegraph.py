@@ -8,7 +8,7 @@ drift" — this module provides it:
   - nodes: keyframe camera-to-world poses
   - edges: relative SE(3) constraints T_ij (measured i->j) with weights;
     built from the tracked odometry chain and from keyframe-to-keyframe
-    point-to-plane ICP (loop closures between spatially близ — nearby —
+    point-to-plane ICP (loop closures between spatially nearby
     keyframes), reusing the tracker's fused association/row machinery
   - optimization: Gauss-Newton on the stacked se(3) perturbations with
     jax autodiff jacobians; node 0 is gauged (fixed). Keyframe counts
@@ -35,6 +35,7 @@ Array = jnp.ndarray
 class PoseGraph:
     poses: list = field(default_factory=list)  # list of (4,4) np arrays
     edges: list = field(default_factory=list)  # (i, j, T_ij (4,4), weight)
+    optimized_poses: list | None = None  # set by optimize()
 
     def add_node(self, pose) -> int:
         self.poses.append(np.asarray(pose, np.float32).copy())
@@ -52,10 +53,12 @@ class PoseGraph:
 
     def optimize(self, iters: int = 10, damping: float = 1e-6) -> list[np.ndarray]:
         """Gauss-Newton over left-multiplied se(3) perturbations; returns
-        optimized poses (node 0 fixed)."""
+        optimized poses (node 0 fixed) and keeps them in
+        `self.optimized_poses` for correction_for()."""
         n = len(self.poses)
         if n < 2 or not self.edges:
-            return [p.copy() for p in self.poses]
+            self.optimized_poses = [p.copy() for p in self.poses]
+            return self.optimized_poses
         poses0 = jnp.asarray(np.stack(self.poses))
         eidx_i = jnp.asarray([e[0] for e in self.edges], jnp.int32)
         eidx_j = jnp.asarray([e[1] for e in self.edges], jnp.int32)
@@ -96,7 +99,19 @@ class PoseGraph:
         poses = poses0
         for _ in range(iters):
             poses, err = gn_step(poses)
-        return [np.asarray(p) for p in poses]
+        self.optimized_poses = [np.asarray(p) for p in poses]
+        return self.optimized_poses
+
+    def correction_for(self, node: int) -> np.ndarray:
+        """World-frame drift fixup at `node` after optimize(): the rigid
+        transform C with optimized_pose = C @ original_pose. Apply C to a
+        live pose that drifted like this node (typically the last
+        keyframe) to pull it onto the optimized trajectory."""
+        if self.optimized_poses is None:
+            raise RuntimeError("call optimize() before correction_for()")
+        orig = np.asarray(self.poses[node], np.float64)
+        opt = np.asarray(self.optimized_poses[node], np.float64)
+        return (opt @ np.linalg.inv(orig)).astype(np.float32)
 
     def total_error(self) -> float:
         err = 0.0

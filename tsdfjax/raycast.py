@@ -89,6 +89,7 @@ def raycast(
     x0=None,
     own_x_range=None,
     axis_name=None,
+    return_steps: bool = False,
 ) -> RaycastResult:
     """`x0` / `own_x_range`: sharded-volume support. When the volume is a
     local x-slab (global origin voxel `x0`), `own_x_range=(wlo, whi)` is
@@ -96,7 +97,14 @@ def raycast(
     current sample lies inside it are claimed (each crossing is claimed
     by exactly one shard; the caller pmin/psum-combines shard results).
     The slab must include halo >= ceil(step/voxel)+3 voxels so the
-    previous sample and the refine/gradient stencils stay readable."""
+    previous sample and the refine/gradient stencils stay readable.
+
+    With own_x_range the march is CLIPPED to the shard's slab: each ray
+    starts one step before its slab entry — snapped onto the global
+    t-grid so every shard samples identical positions — and the loop
+    stops once every ray has left the slab (generalizing the reference's
+    AABB slab test, raycastingVolume.cu:45-63, to the shard's x interval).
+    `return_steps=True` additionally returns the executed step count."""
     h, w = cam.height, cam.width
     size = vol_cfg.size_m
     step = ray_increment
@@ -113,29 +121,64 @@ def raycast(
     # Static trip count: longest possible in-volume segment / step.
     n_steps = int(math.ceil(math.sqrt(3.0) * size / step)) + 1
 
-    def body(k, carry):
-        last_sdf, found, t_hit = carry
-        t = tmin + k * step
+    if own_x_range is not None:
+        # per-ray entry/exit against the owned x-slab, snapped to the
+        # global t-grid (t = tmin + k*step) so sample positions stay
+        # bit-identical to the unclipped march
+        dx = world_dir[..., 0]
+        ox = origin_map[..., 0]
+        t_a = (own_x_range[0] - ox) / dx
+        t_b = (own_x_range[1] - ox) / dx
+        t_lo = jnp.minimum(t_a, t_b)
+        t_hi = jnp.maximum(t_a, t_b)
+        k_first = jnp.maximum(
+            jnp.ceil((t_lo - tmin) / step) - 1.0, 0.0
+        )  # one step early: the claim at slab entry needs its prev sample
+        k_last = jnp.minimum(
+            jnp.ceil((t_hi - tmin) / step), float(n_steps)
+        )
+        k_first = jnp.where(alive, k_first, float(n_steps))
+        k0 = k_first.astype(jnp.int32)
+        k_end = k_last.astype(jnp.int32)
+    else:
+        k0 = jnp.zeros((h, w), jnp.int32)
+        k_end = jnp.full((h, w), n_steps, jnp.int32)
+
+    def body(carry):
+        j, last_sdf, found, t_hit = carry
+        k = k0 + j
+        t = tmin + k.astype(jnp.float32) * step
         pos = origin_map + world_dir * t[..., None]
         sdf, _ = sample_nearest(volume, pos, vol_cfg, x0)
-        crossing = (last_sdf > 0.0) & (sdf < 0.0) & alive & (t < tmax) & ~found
+        crossing = (
+            (last_sdf > 0.0) & (sdf < 0.0) & alive & (t < tmax)
+            & (k <= k_end) & ~found
+        )
         if own_x_range is not None:
             owned = (pos[..., 0] >= own_x_range[0]) & (pos[..., 0] < own_x_range[1])
             crossing = crossing & owned
         t_hit = jnp.where(crossing, t, t_hit)
         found = found | crossing
-        return sdf, found, t_hit
+        return j + 1, sdf, found, t_hit
+
+    def cond(carry):
+        j, _last, found, _t = carry
+        return (j < n_steps) & jnp.any((k0 + j <= k_end) & ~found)
 
     last_sdf0 = jnp.zeros((h, w), jnp.float32)
     found0 = jnp.zeros((h, w), dtype=bool)
     t_hit0 = jnp.zeros((h, w), jnp.float32)
+    j0 = jnp.array(0, jnp.int32)
     if axis_name is not None:
         # under shard_map the loop body reads the sharded volume, making
-        # the carry per-device "varying"; mark the init accordingly
-        last_sdf0, found0, t_hit0 = jax.lax.pvary(
-            (last_sdf0, found0, t_hit0), axis_name
+        # the carry per-device "varying" (including the step counter: the
+        # clipped loop's trip count differs per shard); mark the init
+        j0, last_sdf0, found0, t_hit0 = jax.lax.pvary(
+            (j0, last_sdf0, found0, t_hit0), axis_name
         )
-    _, found, t_hit = jax.lax.fori_loop(0, n_steps, body, (last_sdf0, found0, t_hit0))
+    j_exec, _, found, t_hit = jax.lax.while_loop(
+        cond, body, (j0, last_sdf0, found0, t_hit0)
+    )
 
     # Refinement (once, vectorized over all pixels; misses masked out).
     cur_pos = origin_map + world_dir * t_hit[..., None]
@@ -177,7 +220,10 @@ def raycast(
     else:
         color_out = jnp.zeros((h, w, 3), jnp.float32)
 
-    return RaycastResult(
+    result = RaycastResult(
         vertices=vertices_out, normals=normals_out, color=color_out,
         found=found, hit_t=t_hit,
     )
+    if return_steps:
+        return result, j_exec
+    return result
