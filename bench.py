@@ -153,11 +153,14 @@ def bench_color(n_warm=3, n_meas=15):
 
 
 def bench_sdf(n_warm=3, n_meas=15):
-    from tsdfjax.config import AppConfig, SwitchConfig
+    from tsdfjax.config import AppConfig, SdfTrackerConfig, SwitchConfig
     from tsdfjax.pipeline import FusionEngine
 
-    cfg = AppConfig(switches=SwitchConfig(use_color=False, use_sdf_tracker=True))
-    log("sdf: dense SDF tracker 256^3 depth-only")
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False, use_sdf_tracker=True),
+        sdf_tracker=SdfTrackerConfig(source_subsample=2),
+    )
+    log("sdf: dense SDF tracker 256^3 depth-only (subsample 2)")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
     fps = measure_engine(FusionEngine(cfg, mode="sdf"), poses, depths, rgbs,
                          n_warm, n_meas, "sdf")
@@ -241,6 +244,110 @@ def bench_mesh(n_frames=6):
     return jline("mesh_extract_seconds_256", total, "s", 1.0)
 
 
+def bench_stages(n_warm=3, n_meas=15):
+    """Per-stage breakdown by ablation (the reference printed per-stage
+    ms every frame, HybKinectfu.cpp:111-155): time pipeline prefixes and
+    difference out preprocess / tracking / integrate / raycast."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionState, init_state
+    from tsdfjax import frames as F
+    from tsdfjax.ops.sweep import fast_integrate, fast_raycast
+    from tsdfjax.trackers.icp import icp_track
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    )
+    cam = cfg.depth_camera
+    pre = cfg.preprocess
+    log("stages: ablation breakdown of the headline pipeline")
+    poses, depths, _ = make_frames(cfg, n_warm + n_meas)
+
+    def make_step(do_track, do_integrate, do_raycast):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, depth):
+            trunced, _f, verts, normals = F.preprocess_depth(
+                depth, cam, pre.min_trunc_m, pre.max_trunc_m,
+                pre.sigma_pixel, pre.sigma_depth,
+            )
+            pose = state.pose
+            if do_track:
+                lv = cfg.icp.pyramid_levels
+                nv = F.build_pyramid(verts, lv, F.downsample_vertices)
+                nn = F.build_pyramid(normals, lv, F.downsample_normals)
+                mv = F.build_pyramid(state.model_vertices, lv, F.downsample_vertices)
+                mn = F.build_pyramid(state.model_normals, lv, F.downsample_normals)
+
+                def frame0(_):
+                    return state.pose
+
+                def track(_):
+                    r = icp_track(nv, nn, mv, mn, state.pose, cam, cfg.icp)
+                    return jnp.where(r.ok, r.pose, state.pose)
+
+                pose = jax.lax.cond(state.frame_id == 0, frame0, track, None)
+            vol = state.volume
+            if do_integrate:
+                vol, _c = fast_integrate(
+                    vol, trunced, normals, None, pose, cam, cfg.rgb_camera,
+                    cfg.volume, cfg.integrate,
+                )
+            mvert, mnorm = state.model_vertices, state.model_normals
+            if do_raycast:
+                rc = fast_raycast(
+                    vol, pose, cam, cfg.volume, pre.min_trunc_m, pre.max_trunc_m,
+                    with_color=False, sdf_trunc_m=cfg.integrate.sdf_trunc_m,
+                )
+                mvert, mnorm = rc.vertices, rc.normals
+            return FusionState(
+                volume=vol, pose=pose, model_vertices=mvert, model_normals=mnorm,
+                model_color=state.model_color, frame_id=state.frame_id + 1,
+                lost_count=state.lost_count,
+            )
+
+        return step
+
+    @jax.jit
+    def probe(state):
+        return (state.pose.sum() + state.volume.tsdf[::64, ::64, ::64].sum()
+                + state.model_vertices[::32, ::32].sum())
+
+    def run_one(step):
+        state = init_state(cfg)
+        for k in range(n_warm):
+            state = step(state, depths[k])
+        float(probe(state))
+        t0 = time.perf_counter()
+        float(probe(state))
+        floor = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for k in range(n_warm, n_warm + n_meas):
+            state = step(state, depths[k])
+        float(probe(state))
+        return (time.perf_counter() - t0 - floor) / n_meas
+
+    t_pre = run_one(make_step(False, False, False))
+    t_int = run_one(make_step(False, True, False))
+    t_ray = run_one(make_step(False, True, True))
+    t_full = run_one(make_step(True, True, True))
+    stages_ms = {
+        "preprocess": round(t_pre * 1e3, 2),
+        "integrate": round((t_int - t_pre) * 1e3, 2),
+        "raycast": round((t_ray - t_int) * 1e3, 2),
+        "icp_track": round((t_full - t_ray) * 1e3, 2),
+        "full_frame": round(t_full * 1e3, 2),
+    }
+    log(f"  stages (ms): {stages_ms}")
+    line = jline("frame_ms_full_icp_256", t_full * 1e3, "ms", 1000.0 / 30.0)
+    line["stages_ms"] = stages_ms
+    return line
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--suite", action="store_true",
@@ -258,7 +365,7 @@ def main() -> None:
 
     lines = []
     for fn in (bench_headline, bench_color, bench_sdf, bench_512,
-               bench_sharded_n1, bench_exact, bench_mesh):
+               bench_sharded_n1, bench_exact, bench_mesh, bench_stages):
         try:
             lines.append(fn())
         except Exception as e:  # keep the suite going; record the failure

@@ -230,3 +230,36 @@ class TestTextureOutCli:
         assert (tmp_path / "textured_mesh.mtl").exists()
         body = tex.read_text()
         assert "vt " in body and "usemtl" in body
+
+
+class TestSdfSubsample:
+    def test_subsampled_tracking_close_to_full(self):
+        import dataclasses
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_pipeline import small_config, fly_through
+        from tsdfjax import synthetic as syn
+        from tsdfjax.config import SdfTrackerConfig
+        from tsdfjax.pipeline import FusionEngine
+
+        scene = syn.default_scene(2.0)
+        results = {}
+        for name, sub in (("full", 1), ("sub2", 2)):
+            cfg = dataclasses.replace(
+                small_config(), fast_ops=True,
+                sdf_tracker=SdfTrackerConfig(source_subsample=sub),
+            )
+            poses = fly_through(cfg, 8, arc=0.12)
+            engine = FusionEngine(cfg, mode="sdf")
+            errs = []
+            for pose in poses:
+                d = syn.render_depth(pose, cfg.depth_camera, scene)
+                diag = engine.step(d)
+                assert bool(diag.tracking_ok), f"{name} lost"
+                errs.append(
+                    np.linalg.norm(np.asarray(diag.pose)[:3, 3] - pose[:3, 3])
+                )
+            results[name] = max(errs)
+        # a quarter of the constraints must track to the same noise floor
+        assert results["sub2"] < max(2 * results["full"], 0.01)

@@ -96,11 +96,13 @@ class TestKeyframeIcpEdges:
         pb_bad = pb.copy()
         pb_bad[:3, 3] += np.array([0.02, -0.015, 0.01], np.float32)
         kfb = Keyframe(1, 1.0, pb_bad, db, None)
-        t_ab, ok = icp_relative_pose(
+        t_ab, ok, n_corr, resid = icp_relative_pose(
             kfa, kfb, cam, IcpConfig(pyramid_levels=2),
             DepthPreprocessConfig(sigma_pixel=1.0),
         )
         assert ok
+        assert n_corr > 0.15 * cam.width * cam.height
+        assert resid < 0.02
         t_ab_true = np.linalg.inv(pa) @ pb
         np.testing.assert_allclose(t_ab[:3, 3], t_ab_true[:3, 3], atol=0.01)
 

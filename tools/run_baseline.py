@@ -272,7 +272,7 @@ def main() -> int:
         rc, err, wall = run_app([
             "--config", ini, "--dataset", seq, "--tracker", "icp",
             "--traj-out", traj, "--groundtruth", gt,
-            "--posegraph-every", "50",
+            "--keyframe-every", "20", "--posegraph-every", "50",
         ])
         assert rc == 0, f"config 5 failed rc={rc}"
         ate = ate_of_traj(traj, gt)

@@ -128,6 +128,11 @@ class SdfTrackerConfig:
     angle_shake_rad: float = 0.4
     rotation_step_h: float = 0.001
     convergence_eps: float = 0.001
+    # stride over source pixels, like IcpConfig.source_subsample (strict
+    # parity = 1, every pixel like the reference; the fast configs set 2:
+    # ~77k of ~300k constraints estimate the same 6-DoF system well below
+    # the tracking noise floor, and TPU gather cost is per sample)
+    source_subsample: int = 1
 
 
 @dataclass(frozen=True)
@@ -267,6 +272,7 @@ def load_ini(path: str) -> AppConfig:
         max_iters=_get(cp, "sdfTracker", "max_iter_nums", 6, int),
         dist_shake_m=_get(cp, "sdfTracker", "camera_shake_dist", 0.4, float),
         angle_shake_rad=_get(cp, "sdfTracker", "camera_shake_angle", 0.4, float),
+        source_subsample=_get(cp, "tsdfjax", "sdf_source_subsample", 1, int),
     )
     mc = MarchingCubesConfig(
         max_triangles=_get(cp, "mesh", "max_triangle_num", 1_500_000, int),

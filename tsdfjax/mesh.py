@@ -96,7 +96,9 @@ def _marching_cubes_impl(
     if iso_threshold is None:
         iso_threshold = 300.0 * cell  # MeshGeneratorMarchingcube.cpp:26-27
     if slab is None:
-        slab = _pick_slab(n_cells_x)
+        # bound the per-step cell count (~0.5M) so slab temporaries stay
+        # small even at 512^3 (TPU tile padding inflates narrow axes)
+        slab = _pick_slab(n_cells_x, target=max(1, (1 << 19) // (n_cells * n_cells)))
     assert n_cells_x % slab == 0, "slab must divide the x cell extent"
     n_slabs = n_cells_x // slab
 
@@ -106,100 +108,180 @@ def _marching_cubes_impl(
     corner_off = jnp.asarray(_CORNER_OFFSETS)
     x0f = jnp.asarray(x0, jnp.float32)
 
-    def slab_fields(x_start):
-        """Per-slab cell fields WITHOUT candidate expansion: case index,
-        per-cell triangle counts, and the 12 interpolated edge vertices
-        (+ colors) per cell. Triangle rows are only materialized for
-        COMPACTED slots in scan_body (the old path expanded all
-        cells*MAX_TRIS candidates and was gather/scatter-bound)."""
-        xs = x_start
-        t_slab = jax.lax.dynamic_slice_in_dim(tsdf, xs, slab + 1, 0)
-        w_slab = jax.lax.dynamic_slice_in_dim(weight, xs, slab + 1, 0)
-        shape = (slab, n_cells, n_cells)
-        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    # ---- sparse extraction (empty-space skipping + two-level compaction)
+    #
+    # A slab has slab*(res-1)^2 cells but only ~surface-area many carry
+    # triangles. The old path expanded every cell's 12 edge vertices and
+    # MAX_TRIS candidates and scatter-wrote them (21 s at 256^3, 22 GB of
+    # temporaries at 512^3 on one v5e). Here each slab step:
+    #   1. computes the MC case index with a fused 8-corner stencil (no
+    #      (cells, 8) materialization),
+    #   2. compacts SURFACE CELLS (case not in {0, 255}) — binary search
+    #      on the validity cumsum when few, one int32 scatter when many,
+    #   3. computes edge vertices / table rows only for compacted cells,
+    #   4. packs triangles cell-major with a second small compaction and
+    #      writes ONE contiguous dynamic_update_slice at the running
+    #      total (no float scatter anywhere).
+    # Per-slab empty/small/big branching keeps the common case cheap: an
+    # all-empty slab is a no-op, a typical slab takes the CE_SMALL branch,
+    # and a plane-parallel wall (worst case: every cell of one x-plane is
+    # surface) takes the (res-1)^2-cell branch.
+    m_cells = slab * n_cells * n_cells
+    ce_big = m_cells  # the big branch compacts losslessly over all cells
+    ce_small = min(8192, ce_big)
+    tri_table_flat = tri_table.reshape(256, MAX_TRIS_PER_CELL, 3)
+    tc_big = ce_big * MAX_TRIS_PER_CELL
 
-        corner_t = []
-        corner_w = []
+    def case_and_cumsum(x_start):
+        """Fused stencil: per-cell MC case index (0 where unobserved or
+        out of the iso band) + the surface-cell validity cumsum."""
+        t_slab = jax.lax.dynamic_slice_in_dim(tsdf, x_start, slab + 1, 0)
+        w_slab = jax.lax.dynamic_slice_in_dim(weight, x_start, slab + 1, 0)
+        case = jnp.zeros((slab, n_cells, n_cells), jnp.int32)
+        obs = jnp.ones((slab, n_cells, n_cells), bool)
+        rng = jnp.ones((slab, n_cells, n_cells), bool)
         for k in range(8):
             dx, dy, dz = _CORNER_OFFSETS[k]
-            corner_t.append(t_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells])
-            corner_w.append(w_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells])
-        ct = jnp.stack(corner_t, axis=-1)  # (slab, n, n, 8)
-        cw = jnp.stack(corner_w, axis=-1)
+            tk = t_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells]
+            wk = w_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells]
+            case = case | ((tk < 0).astype(jnp.int32) << k)
+            obs = obs & (wk > 0)
+            rng = rng & (jnp.abs(tk) <= iso_threshold)
+        case = jnp.where(obs & rng, case, 0).reshape(m_cells)
+        valid = (case != 0) & (case != 255)
+        ccum = jnp.cumsum(valid.astype(jnp.int32))
+        return t_slab, case, valid, ccum
 
-        observed = jnp.all(cw > 0, axis=-1)
-        in_range = jnp.all(jnp.abs(ct) <= iso_threshold, axis=-1)
-        inside = (ct < 0).astype(jnp.int32)
-        case = jnp.sum(inside << jnp.arange(8, dtype=jnp.int32), axis=-1)
-        case = jnp.where(observed & in_range, case, 0)
-        ntri = tri_count[case]  # (slab, n, n)
+    # All intermediates below keep the LARGE axis minormost (TPU pads the
+    # two minor dims to (8, 128) tiles: a (N, 3, 3) layout inflates 42x
+    # and OOMs at 512^3, a (9, N) layout pads ~1x).
+    tri_table_t = jnp.asarray(TRI_TABLE).reshape(256, MAX_TRIS_PER_CELL * 3).T
 
-        # world positions of the 8 corners (voxel centers)
-        cx = (ix + xs).astype(jnp.float32) + x0f
-        base = jnp.stack([cx, iy.astype(jnp.float32), iz.astype(jnp.float32)], axis=-1)
-        cpos = (base[..., None, :] + corner_off.astype(jnp.float32) + 0.5) * cell
-        # (slab, n, n, 12, 3) edge vertices. The jnp.take calls index a
-        # constant-size-8/12 axis with constant indices -> XLA lowers them
-        # to slices, not gathers.
+    def emit(out_v, out_c, total, x_start, t_slab, case, csrc, n_kept, ce, tc):
+        """Rows for the compacted cells csrc (ce slots, n_kept real):
+        corner gathers -> edge vertices -> cell-major triangle packing ->
+        one contiguous write at the running total. Returns updated
+        (9, max+pad) buffers + the exact triangle count and written count."""
+        cell_ok = jnp.arange(ce) < n_kept
+        csrc = jnp.minimum(csrc, m_cells - 1)
+        iz = csrc % n_cells
+        iy = (csrc // n_cells) % n_cells
+        ix = csrc // (n_cells * n_cells)
+
+        # 8 corner tsdf values per compacted cell, flat-gathered from the
+        # (slab+1, res, res) window
+        tflat = t_slab.reshape(-1)
+        ct = jnp.stack(
+            [
+                tflat[((ix + dx) * res + (iy + dy)) * res + (iz + dz)]
+                for dx, dy, dz in _CORNER_OFFSETS
+            ],
+            axis=0,
+        )  # (8, ce)
+
+        # corner world positions, one (8, ce) array per coordinate
+        base3 = (
+            (ix + x_start).astype(jnp.float32) + x0f,
+            iy.astype(jnp.float32),
+            iz.astype(jnp.float32),
+        )
+        cpos3 = [
+            (base3[k][None, :] + corner_off[:, k].astype(jnp.float32)[:, None] + 0.5)
+            * cell
+            for k in range(3)
+        ]
+
         a_idx = edge_corners[:, 0]
         b_idx = edge_corners[:, 1]
-        va = jnp.take(ct, a_idx, axis=-1)
-        vb = jnp.take(ct, b_idx, axis=-1)
-        pa = jnp.take(cpos, a_idx, axis=-2)
-        pb = jnp.take(cpos, b_idx, axis=-2)
+        va = jnp.take(ct, a_idx, axis=0)  # (12, ce); constant-index takes
+        vb = jnp.take(ct, b_idx, axis=0)
         denom = vb - va
         # vertexInterp degenerate guards (marchingcube.cu:16-41)
-        mu = jnp.where(jnp.abs(denom) < 1e-30, 0.5, (0.0 - va) / jnp.where(denom == 0, 1.0, denom))
+        mu = jnp.where(
+            jnp.abs(denom) < 1e-30, 0.5,
+            (0.0 - va) / jnp.where(denom == 0, 1.0, denom),
+        )
         mu = jnp.where(jnp.abs(va) < 1e-5, 0.0, jnp.where(jnp.abs(vb) < 1e-5, 1.0, mu))
-        everts = pa + mu[..., None] * (pb - pa)  # (slab, n, n, 12, 3)
+        ev3 = []  # edge-vertex coordinates, (12, ce) each
+        for k in range(3):
+            pa = jnp.take(cpos3[k], a_idx, axis=0)
+            pb = jnp.take(cpos3[k], b_idx, axis=0)
+            ev3.append(pa + mu * (pb - pa))
 
         if with_color:
-            c_slab = jax.lax.dynamic_slice_in_dim(color, xs, slab + 1, 0)
-            cc = jnp.stack(
-                [
-                    c_slab[dx : dx + slab, dy : dy + n_cells, dz : dz + n_cells]
-                    for (dx, dy, dz) in _CORNER_OFFSETS
-                ],
-                axis=-2,
-            )  # (slab, n, n, 8, 3)
-            ca = jnp.take(cc, a_idx, axis=-2)
-            cb = jnp.take(cc, b_idx, axis=-2)
-            ecolors = ca + mu[..., None] * (cb - ca)
+            c_slab = jax.lax.dynamic_slice_in_dim(color, x_start, slab + 1, 0)
+            ec3 = []
+            for k in range(3):
+                cflat = c_slab[..., k].reshape(-1)
+                cc = jnp.stack(
+                    [
+                        cflat[((ix + dx) * res + (iy + dy)) * res + (iz + dz)]
+                        for dx, dy, dz in _CORNER_OFFSETS
+                    ],
+                    axis=0,
+                )  # (8, ce)
+                ca = jnp.take(cc, a_idx, axis=0)
+                cb = jnp.take(cc, b_idx, axis=0)
+                ec3.append(ca + mu * (cb - ca))
         else:
-            ecolors = jnp.zeros((*shape, 12, 3), jnp.float32)
+            ec3 = [jnp.zeros((12, ce), jnp.float32)] * 3
 
-        m = slab * n_cells * n_cells
-        return (
-            ntri.reshape(m),
-            case.reshape(m),
-            everts.reshape(m, 12, 3),
-            ecolors.reshape(m, 12, 3),
-        )
+        case_c = case[csrc]
+        tt_c = jnp.take(tri_table_t, case_c, axis=1)  # (MAX*3, ce)
+        ntri_c = jnp.where(cell_ok, tri_count[case_c], 0)
+        tcum = jnp.cumsum(ntri_c)
+        n_tris = tcum[-1]
 
-    # Stream compaction instead of full-candidate scatter: a slab has
-    # slab*(res-1)^2 cells but only ~surface-area many real triangles,
-    # and TPU gather/scatter cost scales with the candidate volume (the
-    # old expand-all + `.at[dest].set` path took 21 s at 256^3 on one
-    # v5e). Triangle s of a slab lives in the cell found by binary search
-    # on the inclusive cumsum of per-cell counts; only the <= tri_cap
-    # winners gather their table rows and edge vertices, and the block is
-    # written with ONE contiguous dynamic_update_slice at the running
-    # total — no scatter anywhere. `tri_cap` bounds triangles per slab
-    # step: 2*(res-1)^2 covers a full plane-parallel wall (the worst
-    # case); anything beyond is dropped and counted in overflow.
-    m_cells = slab * n_cells * n_cells
-    tri_cap = min(2 * n_cells * n_cells, m_cells * MAX_TRIS_PER_CELL)
-    slots = jnp.arange(tri_cap, dtype=jnp.int32)
-    tri_table_flat = tri_table.reshape(256, MAX_TRIS_PER_CELL, 3)
+        # cell-major triangle packing: scatter the (cell slot, tri index)
+        # codes of real triangles to their output positions (int32 only)
+        tbase = (tcum - ntri_c)[None, :] + jnp.arange(MAX_TRIS_PER_CELL)[:, None]
+        t_ok = jnp.arange(MAX_TRIS_PER_CELL)[:, None] < ntri_c[None, :]
+        dest = jnp.where(t_ok, tbase, tc).reshape(-1)
+        codes = (
+            jnp.arange(ce, dtype=jnp.int32)[None, :] * 8
+            + jnp.arange(MAX_TRIS_PER_CELL, dtype=jnp.int32)[:, None]
+        ).reshape(-1)
+        packed = jnp.zeros(tc, jnp.int32).at[dest].set(codes, mode="drop")
+        slot_ok = jnp.arange(tc) < jnp.minimum(n_tris, tc)
+        c2 = packed // 8
+        t2 = jnp.clip(packed % 8, 0, MAX_TRIS_PER_CELL - 1)
+        tt_flat = tt_c.reshape(-1)  # [(t*3+v)*ce + cell]
+        rows = []  # 9 x (tc,) in (vertex, coord) order
+        for v in range(3):
+            e_v = tt_flat[(t2 * 3 + v) * ce + c2]
+            e_v = jnp.maximum(e_v, 0).astype(jnp.int32)
+            for k in range(3):
+                val = ev3[k].reshape(-1)[e_v * ce + c2]
+                rows.append(jnp.where(slot_ok, val, 0.0))
+        rows_v = jnp.stack(rows, axis=0)  # (9, tc)
+        rows = []
+        for v in range(3):
+            e_v = tt_flat[(t2 * 3 + v) * ce + c2]
+            e_v = jnp.maximum(e_v, 0).astype(jnp.int32)
+            for k in range(3):
+                val = ec3[k].reshape(-1)[e_v * ce + c2]
+                rows.append(jnp.where(slot_ok, val, 0.0))
+        rows_c = jnp.stack(rows, axis=0)
 
-    # output padded by tri_cap: each step writes a full tri_cap block at
-    # the running total; rows past the step's real count are zeros that
-    # the NEXT step overwrites, and rows past max_triangles land in the
-    # pad (the reference's drop-at-capacity, config.ini:48)
-    out_v = jnp.zeros((max_triangles + tri_cap, 3, 3), jnp.float32)
-    out_c = jnp.zeros((max_triangles + tri_cap, 3, 3), jnp.float32)
+        offset = jnp.minimum(total, max_triangles)
+        out_v = jax.lax.dynamic_update_slice(out_v, rows_v, (0, offset))
+        out_c = jax.lax.dynamic_update_slice(out_c, rows_c, (0, offset))
+        return out_v, out_c, n_tris, jnp.minimum(n_tris, tc)
+
+    # per-step triangle caps: the small branch can never drop (its cell
+    # count already fits); the big branch caps at 3 tris/cell averaged
+    # over ALL slab cells — far above any real surface density (a
+    # plane-parallel wall is 2/cell over one plane) — and anything beyond
+    # is dropped and counted exactly via the cumsum
+    tc_small = ce_small * MAX_TRIS_PER_CELL
+    tc_big_cap = max(tc_small, 3 * ce_big)
+
+    # output padded by the largest write block: each step writes its full
+    # block at the running total; rows past the step's real count are
+    # zeros the NEXT step overwrites, and rows past max_triangles land in
+    # the pad (the reference's drop-at-capacity, config.ini:48)
+    out_v = jnp.zeros((9, max_triangles + tc_big_cap), jnp.float32)
+    out_c = jnp.zeros((9, max_triangles + tc_big_cap), jnp.float32)
     total0 = jnp.array(0, jnp.int32)
     dropped0 = jnp.array(0, jnp.int32)
     if axis_name is not None:
@@ -210,29 +292,49 @@ def _marching_cubes_impl(
 
     def scan_body(carry, x_start):
         out_v, out_c, total, dropped = carry
-        ntri, case_f, everts, ecolors = slab_fields(x_start)
-        ccum = jnp.cumsum(ntri)  # (m_cells,) inclusive
-        n_val = ccum[-1]
-        # cell of the (s+1)-th triangle; its index within the cell
-        cell_idx = jnp.searchsorted(ccum, slots + 1, side="left")
-        cell_idx = jnp.minimum(cell_idx, m_cells - 1)
-        t_base = ccum[cell_idx] - ntri[cell_idx]
-        t_in = jnp.clip(slots - t_base, 0, MAX_TRIS_PER_CELL - 1)
-        slot_ok = slots < jnp.minimum(n_val, tri_cap)
-        # edge ids of the winning triangles from the case table
-        tt = tri_table_flat[case_f[cell_idx]]  # (tri_cap, MAX, 3)
-        e3 = jnp.take_along_axis(tt, t_in[:, None, None], axis=1)[:, 0]  # (tri_cap, 3)
-        e3 = jnp.maximum(e3, 0).astype(jnp.int32)
-        flat_ev = (cell_idx[:, None] * 12 + e3).reshape(-1)  # (tri_cap*3,)
-        rows_v = everts.reshape(-1, 3)[flat_ev].reshape(tri_cap, 3, 3)
-        rows_c = ecolors.reshape(-1, 3)[flat_ev].reshape(tri_cap, 3, 3)
-        rows_v = jnp.where(slot_ok[:, None, None], rows_v, 0.0)
-        rows_c = jnp.where(slot_ok[:, None, None], rows_c, 0.0)
-        offset = jnp.minimum(total, max_triangles)
-        out_v = jax.lax.dynamic_update_slice(out_v, rows_v, (offset, 0, 0))
-        out_c = jax.lax.dynamic_update_slice(out_c, rows_c, (offset, 0, 0))
-        written = jnp.minimum(n_val, tri_cap)
-        return (out_v, out_c, total + written, dropped + n_val - written), None
+        t_slab, case, valid, ccum = case_and_cumsum(x_start)
+        n_valid = ccum[-1]
+
+        def do_empty(args):
+            out_v, out_c, total, dropped = args
+            return out_v, out_c, total, dropped
+
+        def do_small(args):
+            out_v, out_c, total, dropped = args
+            # few surface cells: binary search on the validity cumsum
+            csrc = jnp.searchsorted(
+                ccum, jnp.arange(ce_small, dtype=jnp.int32) + 1, side="left"
+            )
+            out_v, out_c, n_tris, written = emit(
+                out_v, out_c, total, x_start, t_slab, case, csrc,
+                n_valid, ce_small, tc_small,
+            )
+            return out_v, out_c, total + written, dropped + n_tris - written
+
+        def do_big(args):
+            out_v, out_c, total, dropped = args
+            # many surface cells (e.g. a plane-parallel wall): one int32
+            # scatter compaction over all cells
+            dest = jnp.where(valid & (ccum - 1 < ce_big), ccum - 1, ce_big)
+            csrc = (
+                jnp.zeros(ce_big, jnp.int32)
+                .at[dest]
+                .set(jnp.arange(m_cells, dtype=jnp.int32), mode="drop")
+            )
+            n_kept = jnp.minimum(n_valid, ce_big)
+            out_v, out_c, n_tris, written = emit(
+                out_v, out_c, total, x_start, t_slab, case, csrc,
+                n_kept, ce_big, tc_big_cap,
+            )
+            # cells beyond ce_big are dropped; each had >= 1 triangle
+            return (out_v, out_c, total + written,
+                    dropped + (n_tris - written) + (n_valid - n_kept))
+
+        branch = jnp.where(n_valid == 0, 0, jnp.where(n_valid <= ce_small, 1, 2))
+        out_v, out_c, total, dropped = jax.lax.switch(
+            branch, [do_empty, do_small, do_big], (out_v, out_c, total, dropped)
+        )
+        return (out_v, out_c, total, dropped), None
 
     x_starts = jnp.arange(n_slabs, dtype=jnp.int32) * slab
     (out_v, out_c, total, dropped), _ = jax.lax.scan(
@@ -241,7 +343,9 @@ def _marching_cubes_impl(
 
     count = jnp.minimum(total, max_triangles)
     return MeshBuffers(
-        vertices=out_v[:max_triangles], colors=out_c[:max_triangles], count=count,
+        vertices=out_v[:, :max_triangles].T.reshape(max_triangles, 3, 3),
+        colors=out_c[:, :max_triangles].T.reshape(max_triangles, 3, 3),
+        count=count,
         overflow=dropped + jnp.maximum(total - max_triangles, 0),
     )
 

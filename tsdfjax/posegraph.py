@@ -125,10 +125,12 @@ class PoseGraph:
 
 def icp_relative_pose(
     kf_a, kf_b, cam, icp_cfg, preprocess_cfg
-) -> tuple[np.ndarray, bool]:
+) -> tuple[np.ndarray, bool, int, float]:
     """Point-to-plane ICP between two keyframes' stored depth maps:
-    returns (T_ab, ok) with pose_b ≈ pose_a @ T_ab. Reuses the tracker's
-    fused row kernel with keyframe A's maps (in A's world) as the model."""
+    returns (T_ab, ok, num_corr, residual) with pose_b ≈ pose_a @ T_ab.
+    Reuses the tracker's fused row kernel with keyframe A's maps (in A's
+    world) as the model; num_corr/residual let the caller judge whether
+    the alignment is a genuine loop closure."""
     import jax.numpy as jnp_
 
     from tsdfjax import frames as F
@@ -159,7 +161,14 @@ def icp_relative_pose(
     init_pose = jnp_.asarray(kf_b.pose)
     res = icp_track(nvp, nnp, mvp, mnp, init_pose, cam, icp_cfg)
     t_ab = np.linalg.inv(kf_a.pose) @ np.asarray(res.pose)
-    return t_ab.astype(np.float32), bool(res.ok)
+    return (
+        t_ab.astype(np.float32), bool(res.ok),
+        int(res.num_corr), float(res.residual),
+    )
+
+
+def _rotation_angle(r: np.ndarray) -> float:
+    return float(np.arccos(np.clip((np.trace(r[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)))
 
 
 def build_keyframe_graph(
@@ -169,23 +178,46 @@ def build_keyframe_graph(
     preprocess_cfg,
     loop_radius_m: float = 1.0,
     min_gap: int = 2,
+    max_view_angle_rad: float = 1.0,
+    min_corr_frac: float = 0.15,
+    max_residual_m: float = 0.02,
+    max_closure_dev_t: float = 0.25,
+    max_closure_dev_rad: float = 0.3,
 ) -> PoseGraph:
-    """Odometry chain + ICP loop closures between non-adjacent keyframes
-    whose camera centers are within loop_radius_m."""
+    """Odometry chain + ICP loop closures between non-adjacent keyframes.
+
+    A closure candidate must (a) have nearby camera centers and similar
+    viewing directions (otherwise the depth maps barely overlap and ICP
+    happily converges to a FALSE alignment with ok=True), (b) align with
+    enough correspondences and a small point-to-plane residual, and (c)
+    stay within an outlier gate of the odometry-implied relative pose —
+    keyframe drift is small compared to the damage a single false edge
+    does to the whole graph."""
     kfs = list(keyframes)
     g = PoseGraph()
     for kf in kfs:
         g.add_node(kf.pose)
     for k in range(len(kfs) - 1):
         g.add_odometry_edge(k, k + 1, weight=1.0)
+    min_corr = int(min_corr_frac * cam.width * cam.height)
     for a in range(len(kfs)):
         for b in range(a + min_gap, len(kfs)):
             if kfs[a].depth_m is None or kfs[b].depth_m is None:
                 continue
-            d = np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3])
-            if d > loop_radius_m:
+            if np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3]) > loop_radius_m:
                 continue
-            t_ab, ok = icp_relative_pose(kfs[a], kfs[b], cam, icp_cfg, preprocess_cfg)
-            if ok:
-                g.add_edge(a, b, t_ab, weight=2.0)
+            view_cos = float(kfs[a].pose[:3, 2] @ kfs[b].pose[:3, 2])
+            if view_cos < np.cos(max_view_angle_rad):
+                continue
+            t_ab, ok, n_corr, resid = icp_relative_pose(
+                kfs[a], kfs[b], cam, icp_cfg, preprocess_cfg
+            )
+            if not ok or n_corr < min_corr or resid > max_residual_m:
+                continue
+            t_odo = np.linalg.inv(kfs[a].pose) @ kfs[b].pose
+            dev = np.linalg.inv(t_odo) @ t_ab
+            if (np.linalg.norm(dev[:3, 3]) > max_closure_dev_t
+                    or _rotation_angle(dev) > max_closure_dev_rad):
+                continue
+            g.add_edge(a, b, t_ab, weight=2.0)
     return g

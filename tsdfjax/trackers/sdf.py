@@ -287,18 +287,15 @@ def _sample_packed(fields: Array, pos: Array, vol_cfg: VolumeConfig) -> tuple[Ar
 
 def sdf_rows_fast(
     fields: Array,
-    trunced_depth: Array,
-    cam: CameraIntrinsics,
+    pts: Array,
+    px_valid: Array,
     cur_transform: Array,
     vol_cfg: VolumeConfig,
 ) -> tuple[Array, Array]:
     """Analytic-gradient rows: dψ/dω_i = ∇ψ(p) · (G_i p), dψ/dv = ∇ψ(p)
     — the first-order limit of the reference's 13-sample numeric scheme
-    (h → 0 of CalSDFErrSolverParams.cu:59-65)."""
-    from tsdfjax.frames import depth_to_vertices
-
-    pts = depth_to_vertices(trunced_depth, cam)
-    px_valid = trunced_depth > 0
+    (h → 0 of CalSDFErrSolverParams.cu:59-65). `pts` are the (possibly
+    subsampled) camera-space points of the valid depth pixels."""
     p = transform_points(cur_transform, pts)
     s, ok = _sample_packed(fields, p, vol_cfg)
     valid = px_valid & ok
@@ -328,14 +325,25 @@ def sdf_track_fast(
 ) -> SdfResult:
     """Fast GN loop: the packed field volume is built once (the volume is
     constant during tracking); each iteration costs ONE trilinear packed
-    sample per pixel instead of the reference's 13 full samples."""
+    sample per (possibly subsampled) pixel instead of the reference's 13
+    full samples, and the loop exits as soon as every shard converges —
+    the reference also breaks on ||x|| < eps (CameraPoseFinderSDF.cpp:
+    87-90), so the early exit is parity, not a shortcut."""
+    from tsdfjax.frames import depth_to_vertices, subsample_pick
+
     if reduce_fn is None:
         reduce_fn = lambda a: a
     fields = sdf_precompute_fields(volume, vol_cfg)
+    # pose-independent per-frame quantities hoisted out of the GN loop
+    pts = depth_to_vertices(trunced_depth, cam)
+    px_valid = trunced_depth > 0
+    if cfg.source_subsample > 1:
+        pts = subsample_pick(pts, cfg.source_subsample)
+        px_valid = subsample_pick(px_valid, cfg.source_subsample)
 
-    def body(_, carry):
-        cur, ok, done, residual, n_val = carry
-        rows, valid = sdf_rows_fast(fields, trunced_depth, cam, cur, vol_cfg)
+    def body(carry):
+        i, cur, ok, done, residual, n_val = carry
+        rows, valid = sdf_rows_fast(fields, pts, px_valid, cur, vol_cfg)
         r = rows.reshape(-1, 7)
         a7 = reduce_fn(
             jnp.dot(r.T, r, preferred_element_type=jnp.float32,
@@ -361,14 +369,17 @@ def sdf_track_fast(
         res = reduce_fn(jnp.sum(jnp.abs(rows[..., 6]))) / jnp.maximum(
             nv.astype(jnp.float32), 1.0
         )
-        return cur, ok, done, res, nv
+        return i + 1, cur, ok, done, res, nv
 
     init = (
+        jnp.array(0, jnp.int32),
         pose,
         jnp.array(True),
         jnp.array(False),
         jnp.array(0.0, jnp.float32),
         jnp.array(0, jnp.int32),
     )
-    cur, ok, _, residual, n_val = jax.lax.fori_loop(0, cfg.max_iters, body, init)
+    _, cur, ok, _, residual, n_val = jax.lax.while_loop(
+        lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2], body, init
+    )
     return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
