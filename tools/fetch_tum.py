@@ -59,8 +59,7 @@ def fetch(name: str, out_dir: str) -> str:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("sequences", nargs="*", default=list(SEQUENCES),
-                    choices=list(SEQUENCES) + [[]],
+    ap.add_argument("sequences", nargs="*", choices=list(SEQUENCES), default=None,
                     help="which sequences (default: all)")
     ap.add_argument("--out", default="data/tum", help="download directory")
     args = ap.parse_args()

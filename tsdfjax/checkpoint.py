@@ -65,9 +65,18 @@ def save_state_sharded(dir_path: str, state: FusionState, cfg: AppConfig) -> Non
         dir/{tsdf,weight,color}_x{X}.npy   per-shard slabs
         dir/replicated.npz                 pose/model maps/counters
     """
+    import glob
     import jax
 
     os.makedirs(dir_path, exist_ok=True)
+    # drop stale slab files from a previous save with a different shard
+    # layout — the loader globs {name}_x*.npy and would mix them in.
+    # (On a true multi-process deployment this cleanup must run once
+    # before the collective save — process 0 here — since hosts write
+    # concurrently into the same directory.)
+    if jax.process_index() == 0:
+        for old in glob.glob(os.path.join(dir_path, "*_x*.npy")):
+            os.remove(old)
     for name in ("tsdf", "weight", "color"):
         arr = getattr(state.volume, name)
         for shard in arr.addressable_shards:

@@ -113,19 +113,34 @@ class TumDataset:
         return len(self.assoc)
 
     @staticmethod
-    def _pyr_down(img: np.ndarray) -> np.ndarray:
+    def _pyr_down(img: np.ndarray, is_depth: bool = False) -> np.ndarray:
         """One cv::pyrDown step: separable 5-tap Gaussian [1,4,6,4,1]/16
         with edge-reflect borders, then decimate by 2 — the reference's
         resize filter (DataSourceProducerRGBDDataset.cpp:112-120 calls
-        cv::pyrDown on both depth and rgb mats)."""
+        cv::pyrDown on both depth and rgb mats).
+
+        DELIBERATE deviation for depth: the reference blurs invalid
+        (0-depth) holes into their neighbors, creating phantom depths
+        around discontinuities; here the Gaussian is validity-
+        renormalized (zeros excluded from the average) and a pixel stays
+        invalid when its decimation-grid source pixel is invalid."""
         k = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
         squeeze = img.ndim == 2
         x = img[..., None] if squeeze else img
-        pad = np.pad(x, ((2, 2), (2, 2), (0, 0)), mode="reflect").astype(np.float64)
-        # convolve along rows then cols
-        rows = sum(k[i] * pad[i : i + x.shape[0], :, :] for i in range(5))
-        cols = sum(k[i] * rows[:, i : i + x.shape[1], :] for i in range(5))
-        out = cols[::2, ::2]
+
+        def blur(a):
+            pad = np.pad(a, ((2, 2), (2, 2), (0, 0)), mode="reflect").astype(np.float64)
+            rows = sum(k[i] * pad[i : i + a.shape[0], :, :] for i in range(5))
+            return sum(k[i] * rows[:, i : i + a.shape[1], :] for i in range(5))
+
+        if is_depth:
+            valid = (x > 0).astype(np.float64)
+            num = blur(x * valid)[::2, ::2]
+            den = blur(valid)[::2, ::2]
+            center_valid = x[::2, ::2] > 0
+            out = np.where(center_valid & (den > 1e-9), num / np.maximum(den, 1e-9), 0.0)
+        else:
+            out = blur(x)[::2, ::2]
         return out[..., 0] if squeeze else out
 
     def _maybe_resize(self, img: np.ndarray, is_depth: bool) -> np.ndarray:
@@ -139,7 +154,7 @@ class TumDataset:
         if (w, h) == (tw, th):
             return img
         while h > th and w > tw and h % 2 == 0 and w % 2 == 0:
-            img = self._pyr_down(img)
+            img = self._pyr_down(img, is_depth=is_depth)
             h, w = img.shape[:2]
         if (w, h) != (tw, th):
             raise ValueError(f"cannot resize {(w, h)} -> {(tw, th)}")

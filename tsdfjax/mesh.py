@@ -3,9 +3,11 @@
 TPU-first redesign of the reference meshing stack (SURVEY.md §2.4/§2.6):
 
   - extractIsoSurfaceKernel (marchingcube.cu:138-153) appends triangles
-    through a global atomicAdd counter; here the per-cell triangle counts
-    go through an exclusive cumsum and triangles scatter to their
-    computed offsets — deterministic, race-free, and jittable. A static
+    through a global atomicAdd counter; here surface cells are stream-
+    compacted (validity cumsum + binary search / int32 scatter), their
+    triangles packed cell-major, and each slab's block written with one
+    contiguous dynamic_update_slice — deterministic, race-free, jittable,
+    and free of float scatters (see _marching_cubes_impl). A static
     max-triangle budget (the reference also has one, config.ini:48)
     bounds the output buffer; overflow triangles are dropped and counted.
   - the cell grid is the voxel-center lattice: the reference samples 8
@@ -22,7 +24,7 @@ TPU-first redesign of the reference meshing stack (SURVEY.md §2.4/§2.6):
     face removal, area-weighted vertex normals (meshData.h:713-736), and
     OBJ/PLY/OFF writers (MeshIO.cpp dispatch-on-extension semantics).
 
-The extraction is chunked over x-slabs with lax.map so the peak
+The extraction is chunked over x-slabs with lax.scan so the peak
 footprint stays ~slab-sized even at 512^3.
 """
 
@@ -102,7 +104,6 @@ def _marching_cubes_impl(
     assert n_cells_x % slab == 0, "slab must divide the x cell extent"
     n_slabs = n_cells_x // slab
 
-    tri_table = jnp.asarray(TRI_TABLE)
     tri_count = jnp.asarray(TRI_COUNT)
     edge_corners = jnp.asarray(EDGE_CORNERS)
     corner_off = jnp.asarray(_CORNER_OFFSETS)
@@ -129,7 +130,6 @@ def _marching_cubes_impl(
     m_cells = slab * n_cells * n_cells
     ce_big = m_cells  # the big branch compacts losslessly over all cells
     ce_small = min(8192, ce_big)
-    tri_table_flat = tri_table.reshape(256, MAX_TRIS_PER_CELL, 3)
     tc_big = ce_big * MAX_TRIS_PER_CELL
 
     def case_and_cumsum(x_start):
@@ -246,22 +246,20 @@ def _marching_cubes_impl(
         c2 = packed // 8
         t2 = jnp.clip(packed % 8, 0, MAX_TRIS_PER_CELL - 1)
         tt_flat = tt_c.reshape(-1)  # [(t*3+v)*ce + cell]
-        rows = []  # 9 x (tc,) in (vertex, coord) order
+        edge_idx = []  # per vertex v: flat (edge, cell) index into (12, ce)
         for v in range(3):
             e_v = tt_flat[(t2 * 3 + v) * ce + c2]
-            e_v = jnp.maximum(e_v, 0).astype(jnp.int32)
-            for k in range(3):
-                val = ev3[k].reshape(-1)[e_v * ce + c2]
-                rows.append(jnp.where(slot_ok, val, 0.0))
-        rows_v = jnp.stack(rows, axis=0)  # (9, tc)
-        rows = []
-        for v in range(3):
-            e_v = tt_flat[(t2 * 3 + v) * ce + c2]
-            e_v = jnp.maximum(e_v, 0).astype(jnp.int32)
-            for k in range(3):
-                val = ec3[k].reshape(-1)[e_v * ce + c2]
-                rows.append(jnp.where(slot_ok, val, 0.0))
-        rows_c = jnp.stack(rows, axis=0)
+            edge_idx.append(jnp.maximum(e_v, 0).astype(jnp.int32) * ce + c2)
+        rows_v = jnp.stack(
+            [jnp.where(slot_ok, ev3[k].reshape(-1)[idx], 0.0)
+             for idx in edge_idx for k in range(3)],
+            axis=0,
+        )  # (9, tc) in (vertex, coord) order
+        rows_c = jnp.stack(
+            [jnp.where(slot_ok, ec3[k].reshape(-1)[idx], 0.0)
+             for idx in edge_idx for k in range(3)],
+            axis=0,
+        )
 
         offset = jnp.minimum(total, max_triangles)
         out_v = jax.lax.dynamic_update_slice(out_v, rows_v, (0, offset))

@@ -473,14 +473,20 @@ def extract_mesh_sharded(
 ):
     """One-call distributed pipeline: per-shard marching cubes -> host
     concat -> weld -> normals. Equals tsdfjax.mesh.extract_mesh on the
-    same (gathered) volume."""
+    same (gathered) volume: every shard gets the FULL triangle budget (a
+    locally dense surface — e.g. a wall inside one x-slab — must not be
+    truncated by a rigid 1/N share) and the GLOBAL budget is enforced on
+    the concatenated soup, which is in dense x-major order, so the kept
+    prefix matches the dense extraction's drop-at-capacity exactly."""
     from tsdfjax.mesh import Mesh as TriMesh, weld_mesh, compute_vertex_normals
 
-    n = device_mesh.devices.size
-    per_shard = -(-max_triangles // n)
     soup_v, soup_c, overflow = marching_cubes_sharded(
-        volume, vol_cfg, device_mesh, per_shard, with_color=with_color
+        volume, vol_cfg, device_mesh, max_triangles, with_color=with_color
     )
+    if len(soup_v) > max_triangles:
+        overflow += len(soup_v) - max_triangles
+        soup_v = soup_v[:max_triangles]
+        soup_c = soup_c[:max_triangles]
     mesh = weld_mesh(
         soup_v.reshape(-1, 3), soup_c.reshape(-1, 3) if with_color else None,
         merge_eps,

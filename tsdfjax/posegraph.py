@@ -199,7 +199,10 @@ def build_keyframe_graph(
         g.add_node(kf.pose)
     for k in range(len(kfs) - 1):
         g.add_odometry_edge(k, k + 1, weight=1.0)
-    min_corr = int(min_corr_frac * cam.width * cam.height)
+    # num_corr is counted on the ICP-subsampled source grid — scale the
+    # gate to the same grid or closures become impossible at subsample>1
+    ss = max(icp_cfg.source_subsample, 1)
+    min_corr = int(min_corr_frac * (cam.width // ss) * (cam.height // ss))
     for a in range(len(kfs)):
         for b in range(a + min_gap, len(kfs)):
             if kfs[a].depth_m is None or kfs[b].depth_m is None:
