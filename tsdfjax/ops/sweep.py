@@ -66,27 +66,33 @@ from tsdfjax.volume import TsdfVolume
 Array = jnp.ndarray
 
 RAYCAST_BSZ = 4  # slices per compositing scan step (tuned on v5e; 8 and 1 are slower)
+INTEGRATE_BSZ = 4  # slices per projection scan step (tuned on v5e at 256^3 and 512^3)
 # Max k-sweep sample spacing in voxels. A stride-S sweep can only step
 # over a +/- crossing if the TSDF truncation band is narrower than S
 # voxels, so the actual stride is derived per config at trace time by
 # _raycast_stride below (e.g. the default config's band is 5.1 voxels ->
 # stride 2, which is still 2x finer than the reference's 0.8*sdf_trunc
-# (~4 voxel) march step, raycastingVolume.cu).
-RAYCAST_STRIDE = 2
+# (~4 voxel) march step, raycastingVolume.cu; 512^3 at the same 2 m /
+# 0.04 m truncation has a 10.2-voxel band -> stride 4).
+RAYCAST_STRIDE = 4
 
 
 def _raycast_stride(vol_cfg: VolumeConfig, sdf_trunc_m: float | None) -> int:
     """Largest safe sweep stride for this STATIC config: the truncation
     band (sdf_trunc / voxel) must span >= 2*stride voxels so two adjacent
-    sweep samples cannot both miss the band around a crossing, and the
-    resolution must tile evenly. Falls back to 1 (every slice) when the
-    caller does not know the integration truncation."""
+    sweep samples (<= stride*sqrt(3) voxels apart along the ray) cannot
+    both miss the band around a crossing, and the resolution must tile
+    evenly. Falls back to 1 (every slice) when the caller does not know
+    the integration truncation."""
     if sdf_trunc_m is None:
         return 1
     band_vox = sdf_trunc_m / vol_cfg.voxel_size_m
-    if band_vox >= 2 * RAYCAST_STRIDE and vol_cfg.resolution % RAYCAST_STRIDE == 0:
-        return RAYCAST_STRIDE
-    return 1
+    stride = RAYCAST_STRIDE
+    while stride > 1 and not (
+        band_vox >= 2 * stride and vol_cfg.resolution % stride == 0
+    ):
+        stride //= 2
+    return stride
 
 
 # ---------------------------------------------------------------------------
@@ -344,7 +350,7 @@ def project_image_to_volume(
 
     ii = i0 + jnp.arange(ni, dtype=jnp.float32)
     jj = jnp.arange(res, dtype=jnp.float32)
-    bsz = 4 if nk % 4 == 0 else 1  # slices per scan step
+    bsz = INTEGRATE_BSZ if nk % INTEGRATE_BSZ == 0 else 1  # slices per scan step
 
     def body(carry, kb):
         gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
@@ -386,7 +392,7 @@ def _cam_affine(geom: SweepGeom, vol_cfg: VolumeConfig):
 
 
 def _integrate_axis(
-    volume_perm: tuple[Array, Array, Array],
+    volume_native: tuple[Array, Array, Array],
     depth: Array,
     normals: Array,
     rgb: Array | None,
@@ -399,13 +405,18 @@ def _integrate_axis(
     k0: Array | int = 0,
     i0: Array | int = 0,
 ):
-    """Integrate with STATIC sweep axis; volume arrays already permuted to
-    [k, i, j] layout. Returns permuted updated arrays + count.
+    """Integrate with STATIC sweep axis. The volume arrays stay in NATIVE
+    (x, y, z) layout: only the projected image channels (2 bf16-pair
+    channels depth-only) are un-permuted from sweep layout, so the f32
+    tsdf/weight/color arrays are never transposed — at 512^3 that saves
+    ~4 GB of HBM traffic per frame vs permuting the volume both ways.
 
     `k0`/`i0` are the (traced) global sweep/in-slice offsets of the given
     arrays — nonzero when the caller passes a shard's local slab."""
-    tsdf, weight, color = volume_perm
-    nk, ni, nj = tsdf.shape
+    tsdf, weight, color = volume_native
+    perm = _PERMS[axis]
+    inv = _INV_PERMS[axis]
+    nk, ni, nj = (tsdf.shape[perm[0]], tsdf.shape[perm[1]], tsdf.shape[perm[2]])
     h, w = depth.shape
     geom = make_sweep_geom(pose, depth_cam, vol_cfg, axis)
 
@@ -429,14 +440,18 @@ def _integrate_axis(
         img, pose, depth_cam, vol_cfg, axis, mode="nearest", dtype=jnp.bfloat16,
         k0=k0, nk=nk, i0=i0, ni=ni,
     )
+    # un-permute the (cheap, bf16) projected channels to native layout
+    volch = jnp.transpose(volch, (0, 1 + inv[0], 1 + inv[1], 1 + inv[2]))
     d_vol = volch[0] + volch[1]
     nz_vol = volch[2] if rgb is not None else None
 
-    # camera z per voxel: affine in (k, i, j)
+    # camera z per voxel: affine in (k, i, j); iotas laid along the
+    # NATIVE axes carrying each sweep coordinate
     ca, cb, cc, c0 = _cam_affine(geom, vol_cfg)
-    kk = k0 + jax.lax.broadcasted_iota(jnp.float32, (nk, ni, nj), 0)
-    ii = i0 + jax.lax.broadcasted_iota(jnp.float32, (nk, ni, nj), 1)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (nk, ni, nj), 2)
+    shape = tsdf.shape
+    kk = k0 + jax.lax.broadcasted_iota(jnp.float32, shape, perm[0])
+    ii = i0 + jax.lax.broadcasted_iota(jnp.float32, shape, perm[1])
+    jj = jax.lax.broadcasted_iota(jnp.float32, shape, perm[2])
     pz = ca[2] * kk + cb[2] * ii + cc[2] * jj + c0[2]
 
     trunc = integ_cfg.sdf_trunc_m
@@ -496,24 +511,10 @@ def fast_integrate(
     axis = pick_sweep_axis(pose)
 
     def branch(a):
-        perm = _PERMS[a]
-        inv = _INV_PERMS[a]
-
         def run(_):
-            vol_perm = (
-                jnp.transpose(volume.tsdf, perm),
-                jnp.transpose(volume.weight, perm),
-                jnp.transpose(volume.color, (*perm, 3)),
-            )
-            t, w, c, count = _integrate_axis(
-                vol_perm, depth, normals, rgb, pose, depth_cam,
-                vol_cfg, integ_cfg, color_angle_weight, a,
-            )
-            return (
-                jnp.transpose(t, inv),
-                jnp.transpose(w, inv),
-                jnp.transpose(c, (*inv, 3)),
-                count,
+            return _integrate_axis(
+                (volume.tsdf, volume.weight, volume.color), depth, normals,
+                rgb, pose, depth_cam, vol_cfg, integ_cfg, color_angle_weight, a,
             )
 
         return run
@@ -547,28 +548,15 @@ def fast_integrate_sharded(
     res = vol_cfg.resolution
 
     def branch(a):
-        perm = _PERMS[a]
-        inv = _INV_PERMS[a]
-
         def run(_):
-            vol_perm = (
-                jnp.transpose(volume.tsdf, perm),
-                jnp.transpose(volume.weight, perm),
-                jnp.transpose(volume.color, (*perm, 3)),
-            )
             if a == 0:  # sweep along x: local slab = k band
                 k0, i0 = x0, 0
             else:  # sweep along y/z: x is the in-slice i axis
                 k0, i0 = 0, x0
-            t, w, c, count = _integrate_axis(
-                vol_perm, depth, normals, rgb, pose, depth_cam,
-                vol_cfg, integ_cfg, color_angle_weight, a, k0=k0, i0=i0,
-            )
-            return (
-                jnp.transpose(t, inv),
-                jnp.transpose(w, inv),
-                jnp.transpose(c, (*inv, 3)),
-                count,
+            return _integrate_axis(
+                (volume.tsdf, volume.weight, volume.color), depth, normals,
+                rgb, pose, depth_cam, vol_cfg, integ_cfg, color_angle_weight,
+                a, k0=k0, i0=i0,
             )
 
         return run
@@ -597,6 +585,73 @@ def _shift2(x: Array, axis: int, direction: int) -> Array:
          jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)],
         axis=axis,
     )
+
+
+def _axis_min3(x: Array, ax: int) -> Array:
+    """min(up, dn) of the +-1 shifts of x along `ax` (edge-replicated)."""
+    n = x.shape[ax]
+    up = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, n, axis=ax),
+         jax.lax.slice_in_dim(x, n - 1, n, axis=ax)],
+        axis=ax,
+    )
+    dn = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 0, 1, axis=ax),
+         jax.lax.slice_in_dim(x, 0, n - 1, axis=ax)],
+        axis=ax,
+    )
+    return jnp.minimum(up, dn)
+
+
+def _subsample_sweep_native(
+    tsdf: Array,
+    weight: Array,
+    color: Array | None,
+    axis: int,
+    stride: int,
+    dtype=jnp.bfloat16,
+) -> Array:
+    """Strided sweep-sample channel stack built in NATIVE (x,y,z) layout:
+    returns vol_samp (C, n_k, ni, nj) in sweep-permuted [k,i,j] order
+    holding slices k = m*stride, with channels [tsdf, eroded-validity
+    (+r,g,b)]. Equivalent to permute-full -> _erode6 -> reshape-pick, but
+    only the sampled band is ever eroded, stacked, or transposed — at
+    512^3/stride 4 this cuts the raycast preamble's HBM traffic ~2x.
+
+    The 6-neighborhood erosion decomposes as min(ek, in-plane shifts of
+    the sampled slice), where ek = min(v[k-1], v[k], v[k+1]) needs only
+    slices {m*stride - 1, m*stride, m*stride + 1} (stride >= 2: the k+-1
+    neighbors live at in-group offsets 1 and stride-1 of groups m/m-1)."""
+    assert stride >= 2
+    a = axis
+    perm = _PERMS[axis]
+    n_k = tsdf.shape[a] // stride
+
+    def pick(arr, off):
+        shp = arr.shape
+        grouped = arr.reshape(shp[:a] + (n_k, stride) + shp[a + 1 :])
+        return jax.lax.index_in_dim(grouped, off, axis=a + 1, keepdims=False)
+
+    v = (weight > 0).astype(dtype)
+    v0 = pick(v, 0)
+    v1 = pick(v, 1)
+    vlast = pick(v, stride - 1)
+    # vprev[m] = v[m*stride - 1] = vlast[m-1]; edge-replicate group 0
+    vprev = jnp.concatenate(
+        [jax.lax.slice_in_dim(v0, 0, 1, axis=a),
+         jax.lax.slice_in_dim(vlast, 0, n_k - 1, axis=a)],
+        axis=a,
+    )
+    ek = jnp.minimum(jnp.minimum(v0, v1), vprev)
+    b_ax, c_ax = perm[1], perm[2]
+    gv = jnp.minimum(
+        jnp.minimum(ek, _axis_min3(v0, b_ax)), _axis_min3(v0, c_ax)
+    )
+    chans = [pick(tsdf, 0).astype(dtype), gv]
+    if color is not None:
+        csub = pick(color, 0).astype(dtype)
+        chans += [csub[..., 0], csub[..., 1], csub[..., 2]]
+    return jnp.stack([jnp.transpose(c, perm) for c in chans], axis=0)
 
 
 def _erode6(v: Array) -> Array:
@@ -633,6 +688,7 @@ def _raycast_axis(
     halo: int = 0,
     k0: Array | int = 0,
     axis_name: str | None = None,
+    native: bool = False,
 ):
     """Sweep raycast with STATIC axis over [k,i,j]-permuted volume arrays.
     Returns per-PIXEL packed model maps (vertices, normals, color, found,
@@ -651,7 +707,7 @@ def _raycast_axis(
     vthresh = 0.97 if dtype == jnp.bfloat16 else 0.999
     res = vol_cfg.resolution
     cell = vol_cfg.voxel_size_m
-    n_own = tsdf_p.shape[0] - 2 * halo
+    n_own = tsdf_p.shape[axis if native else 0] - 2 * halo
     h, w = cam.height, cam.width
     geom = make_sweep_geom(pose, cam, vol_cfg, axis)
     qh = _round8(int(h * q_oversample))
@@ -673,34 +729,48 @@ def _raycast_axis(
     # channels: it is reconstructed per ray from in-plane q-space
     # differences + the along-ray difference (see composite_step), which
     # cuts the resample matmuls and the volume channel traffic by 60%.
-    v_obs = (weight_p > 0).astype(jnp.float32)
-    gv = _erode6(v_obs)
-    chans = [tsdf_p, gv]
-    if color_p is not None:
-        chans += [color_p[..., 0], color_p[..., 1], color_p[..., 2]]
-    vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
-    n_ch = vol_ch.shape[0]
-
     # k-sweep stride: only every stride-th slice is resampled and
     # composited (the caller derives a stride the truncation band cannot
     # slip through, _raycast_stride). Subsample via reshape-pick (strided
     # slices are slow).
     n_k = n_own // stride
-    if halo > 0:
-        # local samples at extended positions halo, halo+stride, ... plus
-        # ONE extra leading sample at halo-stride: the previous sample of
-        # the first owned slice (lives in the exchanged halo)
-        sub = jax.lax.slice_in_dim(
-            vol_ch, halo - stride, halo - stride + (n_k + 1) * stride, axis=1
+    if native and halo == 0 and stride > 1:
+        # dense fast path: subsample + erode in native layout, permuting
+        # only the sampled band (see _subsample_sweep_native)
+        vol_samp = _subsample_sweep_native(
+            tsdf_p, weight_p, color_p, axis, stride, dtype=dtype
         )
-        vol_samp = sub.reshape(n_ch, n_k + 1, stride, res, res)[:, :, 0]
-        samp_off = 1
-    elif stride > 1:
-        vol_samp = vol_ch.reshape(n_ch, n_k, stride, res, res)[:, :, 0]
+        n_ch = vol_samp.shape[0]
         samp_off = 0
     else:
-        vol_samp = vol_ch
-        samp_off = 0
+        if native:  # stride-1 fallback: permute in full, as before
+            perm = _PERMS[axis]
+            tsdf_p = jnp.transpose(tsdf_p, perm)
+            weight_p = jnp.transpose(weight_p, perm)
+            if color_p is not None:
+                color_p = jnp.transpose(color_p, (*perm, 3))
+        v_obs = (weight_p > 0).astype(jnp.float32)
+        gv = _erode6(v_obs)
+        chans = [tsdf_p, gv]
+        if color_p is not None:
+            chans += [color_p[..., 0], color_p[..., 1], color_p[..., 2]]
+        vol_ch = jnp.stack(chans, axis=0)  # (C, R, R, R) permuted
+        n_ch = vol_ch.shape[0]
+        if halo > 0:
+            # local samples at extended positions halo, halo+stride, ...
+            # plus ONE extra leading sample at halo-stride: the previous
+            # sample of the first owned slice (lives in the exchanged halo)
+            sub = jax.lax.slice_in_dim(
+                vol_ch, halo - stride, halo - stride + (n_k + 1) * stride, axis=1
+            )
+            vol_samp = sub.reshape(n_ch, n_k + 1, stride, res, res)[:, :, 0]
+            samp_off = 1
+        elif stride > 1:
+            vol_samp = vol_ch.reshape(n_ch, n_k, stride, res, res)[:, :, 0]
+            samp_off = 0
+        else:
+            vol_samp = vol_ch
+            samp_off = 0
 
     # slices per compositing scan step; with the bf16 5-channel state the
     # batched intermediate fits VMEM (it spilled with 6 f32 channels)
@@ -980,15 +1050,12 @@ def fast_raycast(
     stride = _raycast_stride(vol_cfg, sdf_trunc_m)
 
     def branch(a):
-        perm = _PERMS[a]
-
         def run(_):
-            t_p = jnp.transpose(volume.tsdf, perm)
-            w_p = jnp.transpose(volume.weight, perm)
-            c_p = jnp.transpose(volume.color, (*perm, 3)) if with_color else None
             return _raycast_axis(
-                t_p, w_p, c_p, pose, cam, vol_cfg, near_plane, far_plane,
-                a, q_oversample, dtype=dtype, stride=stride,
+                volume.tsdf, volume.weight,
+                volume.color if with_color else None, pose, cam, vol_cfg,
+                near_plane, far_plane, a, q_oversample, dtype=dtype,
+                stride=stride, native=True,
             )
 
         return run
