@@ -264,23 +264,27 @@ def _sample_packed(fields: Array, pos: Array, vol_cfg: VolumeConfig) -> tuple[Ar
 
     res = vol_cfg.resolution
     c = fields.shape[-1]
-    flat_fields = fields.reshape(-1, c)
     base, frac, in_bounds = _interp_setup(pos, vol_cfg)
-    bx, by, bz = base[..., 0], base[..., 1], base[..., 2]
     a, b, cc = frac[..., 0], frac[..., 1], frac[..., 2]
-    out = None
-    for dx in (0, 1):
-        wx = (1.0 - a) if dx == 0 else a
-        for dy in (0, 1):
-            wy = (1.0 - b) if dy == 0 else b
-            for dz in (0, 1):
-                wz = (1.0 - cc) if dz == 0 else cc
-                ix = jnp.clip(bx + dx, 0, res - 1)
-                iy = jnp.clip(by + dy, 0, res - 1)
-                iz = jnp.clip(bz + dz, 0, res - 1)
-                f = flat_fields[(ix * res + iy) * res + iz]
-                term = f * (wx * wy * wz)[..., None]
-                out = term if out is None else out + term
+    # ONE windowed (2,2,2,C) gather per point (vmapped dynamic_slice
+    # lowers to a single lax.gather with slice_sizes=(2,2,2,C)) instead
+    # of 8 independent row gathers — ~2x faster on TPU, where each
+    # gathered row costs a full lane-padded fetch regardless of width.
+    # Clamping base to res-2 only affects out-of-domain points, which
+    # in_bounds already rejects.
+    bidx = jnp.clip(base.reshape(-1, 3), 0, res - 2)
+
+    def fetch(i):
+        return jax.lax.dynamic_slice(fields, (i[0], i[1], i[2], 0), (2, 2, 2, c))
+
+    win = jax.vmap(fetch)(bidx).reshape(*pos.shape[:-1], 2, 2, 2, c)
+    wx = jnp.stack([1.0 - a, a], axis=-1)
+    wy = jnp.stack([1.0 - b, b], axis=-1)
+    wz = jnp.stack([1.0 - cc, cc], axis=-1)
+    wgt = (
+        wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+    )
+    out = jnp.sum(win * wgt[..., None], axis=(-4, -3, -2))
     valid = in_bounds & (out[..., 4] > 0.999)
     return out, valid
 
