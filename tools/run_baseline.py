@@ -9,16 +9,20 @@ same directory layout and drives the IDENTICAL application CLI path
 (tsdfjax.app main: TumDataset reader -> tracker -> trajectory writer ->
 bundled ATE). The output JSON records which data source was used.
 
-Configs (BASELINE.json):
+Configs (BASELINE.json 1-5, plus evidence runs 6-8):
   1 GT-pose fusion, fr1_xyz, 128^3          -> ATE ~ 0 sanity + fps
   2 3-level ICP, fr1_desk, 256^3            -> ATE RMSE (strict parity
                                                AND fast settings)
   3 SDF tracker, fr1_desk                   -> ATE RMSE vs ICP
   4 marching cubes + keyframes, fr2_desk 512^3 -> artifacts + timings
-  5 sharded volume, fr3_long_office         -> ATE + scaling (CPU mesh)
+  5 SHARDED engine (--engine sharded CLI) vs dense, fr3_long_office
+    -> ATE parity + distributed mesh/checkpoint artifacts
+  6 pose-graph drift A/B on a noisy looping sequence -> ATE improvement
+  7 noise/dropout robustness sweep, ICP vs SDF -> ATE degradation curves
+  8 strict-parity ICP, short -> chip execution evidence for strict mode
 
 Usage: python tools/run_baseline.py [--data-root data/tum] [--out ATE.json]
-       [--frames N] [--configs 1,2,3]
+       [--frames N] [--configs 1,2,3] [--virtual-devices 8]
 """
 
 from __future__ import annotations
@@ -36,24 +40,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def ensure_sequence(data_root: str, name: str, kind: str, frames: int,
-                    noise: float) -> tuple[str, str]:
+                    noise: float, width: int = 640, height: int = 480,
+                    dropout: float = 0.0) -> tuple[str, str]:
     """Returns (sequence_dir, source) where source is 'tum' or 'synthetic'."""
     real = {
         "fr1_xyz": "rgbd_dataset_freiburg1_xyz",
         "fr1_desk": "rgbd_dataset_freiburg1_desk",
         "fr2_desk": "rgbd_dataset_freiburg2_desk",
         "fr3_long_office": "rgbd_dataset_freiburg3_long_office_household",
-    }[name]
-    real_dir = os.path.join(data_root, real)
-    if os.path.exists(os.path.join(real_dir, "depth.txt")):
-        return real_dir, "tum"
-    syn_dir = os.path.join(data_root, f"synthetic_{name}_{frames}f")
+    }.get(name)
+    if real is not None:
+        real_dir = os.path.join(data_root, real)
+        if os.path.exists(os.path.join(real_dir, "depth.txt")):
+            return real_dir, "tum"
+    tag = f"synthetic_{name}_{frames}f"
+    if width != 640:
+        tag += f"_{width}x{height}"
+    if noise != 0.002:
+        tag += f"_n{noise:g}"
+    if dropout:
+        tag += f"_d{dropout:g}"
+    syn_dir = os.path.join(data_root, tag)
     if not os.path.exists(os.path.join(syn_dir, "depth.txt")):
         from make_tum_synthetic import write_sequence
 
         print(f"[baseline] rendering synthetic stand-in for {name} "
-              f"({kind}, {frames} frames)...", file=sys.stderr)
-        write_sequence(syn_dir, kind=kind, n_frames=frames, noise=noise)
+              f"({kind}, {frames} frames, {width}x{height}, noise {noise}, "
+              f"dropout {dropout})...", file=sys.stderr)
+        write_sequence(syn_dir, kind=kind, n_frames=frames, noise=noise,
+                       width=width, height=height, dropout=dropout)
     return syn_dir, "synthetic"
 
 
@@ -105,9 +120,13 @@ def ate_of_traj(traj_path: str, gt_path: str) -> float:
 
 def write_ini(path: str, volume_res: int, tracker: str, size_m: float = 2.0,
               fast: bool | None = None, use_color: bool = False,
-              max_triangles: int = 1_500_000) -> str:
+              max_triangles: int = 1_500_000, width: int = 640,
+              height: int = 480) -> str:
     """A reference-format config.ini for the run. `fast=None` leaves the
     [tsdfjax] section out entirely = strict-parity ICP defaults."""
+    fx = 525.0 * width / 640
+    fy = 525.0 * height / 480
+    cx, cy = (width - 1) / 2.0, (height - 1) / 2.0
     lines = [
         "[switch]",
         f"use_color={int(use_color)}",
@@ -115,10 +134,10 @@ def write_ini(path: str, volume_res: int, tracker: str, size_m: float = 2.0,
         f"use_sdf_tracker={int(tracker == 'sdf')}",
         f"read_trajactory_from_file={int(tracker == 'file')}",
         "[camera]",
-        "depth_cols=640", "depth_rows=480",
-        "depth_cx=319.5", "depth_cy=239.5", "depth_fx=525", "depth_fy=525",
-        "rgb_cols=640", "rgb_rows=480",
-        "rgb_cx=319.5", "rgb_cy=239.5", "rgb_fx=525", "rgb_fy=525",
+        f"depth_cols={width}", f"depth_rows={height}",
+        f"depth_cx={cx}", f"depth_cy={cy}", f"depth_fx={fx}", f"depth_fy={fy}",
+        f"rgb_cols={width}", f"rgb_rows={height}",
+        f"rgb_cx={cx}", f"rgb_cy={cy}", f"rgb_fx={fx}", f"rgb_fy={fy}",
         "[kinectfusion]",
         "depth_trunc_max=4.0", "depth_trunc_min=0.3",
         "filter_sigma_depth=0.02", "filter_sigma_pixel=2.0",
@@ -156,12 +175,26 @@ def main() -> int:
     ap.add_argument("--noise", type=float, default=0.002,
                     help="synthetic Kinect-like depth noise (sigma=noise*z^2)")
     ap.add_argument("--configs", default="1,2,3",
-                    help="comma list out of 1,2,3,4,5")
+                    help="comma list out of 1..8 (5=sharded engine, "
+                         "6=posegraph drift A/B, 7=noise/dropout stress "
+                         "sweep, 8=strict-parity short run for the chip)")
     ap.add_argument("--workdir", default="output/baseline")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin "
                          "ignores JAX_PLATFORMS, so this must be a flag)")
+    ap.add_argument("--virtual-devices", type=int, default=0,
+                    help="host-platform virtual device count for the "
+                         "sharded config-5 run (sets XLA_FLAGS before jax "
+                         "init; implies --cpu)")
     args = ap.parse_args()
+    if args.virtual_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.virtual_devices}"
+            )
+        args.cpu = True
     if args.cpu:
         import jax
 
@@ -261,22 +294,144 @@ def main() -> int:
             "mesh_bytes": os.path.getsize(mesh_out) if os.path.exists(mesh_out) else 0,
         }, err, wall)
 
-    # ------- config 5: sharded volume, fr3_long_office ----------------
+    # ------- config 5: SHARDED volume engine, fr3_long_office ---------
+    # BASELINE configs[4]: "Block-partitioned TSDF across N>=2 hosts with
+    # halo exchange + psum'd ICP ... full ATE eval". The run goes through
+    # the SAME application CLI a user would type (--engine sharded),
+    # exercising ShardedFusion + distributed mesh extraction; a dense run
+    # with identical settings is recorded for the tolerance comparison.
     if 5 in configs:
+        n_dev = args.virtual_devices or 0
         seq, source = ensure_sequence(args.data_root, "fr3_long_office",
                                       "long", max(args.frames, 200), args.noise)
         gt = os.path.join(seq, "groundtruth.txt")
         ini = write_ini(os.path.join(args.workdir, "cfg5.ini"), 256, "icp",
                         fast=True)
-        traj = os.path.join(args.workdir, "traj_cfg5.txt")
+        ates = {}
+        for label in ("sharded", "dense"):
+            traj = os.path.join(args.workdir, f"traj_cfg5_{label}.txt")
+            argv = [
+                "--config", ini, "--dataset", seq, "--tracker", "icp",
+                "--traj-out", traj, "--groundtruth", gt,
+                "--keyframe-every", "20", "--posegraph-every", "50",
+                "--engine", label if label == "sharded" else "dense",
+            ]
+            if label == "sharded" and n_dev:
+                argv += ["--devices", str(n_dev)]
+            if label == "sharded":
+                argv += ["--mesh-out",
+                         os.path.join(args.workdir, "cfg5_mesh.obj"),
+                         "--checkpoint",
+                         os.path.join(args.workdir, "cfg5_ckpt")]
+            rc, err, wall = run_app(argv)
+            assert rc == 0, f"config 5 {label} failed rc={rc}"
+            ates[label] = ate_of_traj(traj, gt)
+            extra = {"ate_rmse_cm": round(ates[label] * 100, 4),
+                     "engine": label}
+            if label == "sharded":
+                extra["devices"] = n_dev or 1
+            record(f"5_long_office_{label}", seq, source, extra, err, wall)
+        print(f"[baseline] config 5 sharded-vs-dense ATE delta: "
+              f"{abs(ates['sharded']-ates['dense'])*100:.4f} cm",
+              file=sys.stderr)
+
+    # ------- config 6: pose-graph drift A/B on a looping sequence -----
+    # North-star claim "pose-graph over keyframes handles drift": a fast
+    # noisy out-and-back loop drifts under ICP odometry; the A run closes
+    # the loop + applies the final trajectory optimization, the B run is
+    # identical without the pose graph. A must beat B.
+    if 6 in configs:
+        seq, source = ensure_sequence(
+            args.data_root, "drift_loop", "loop", max(args.frames, 300),
+            max(args.noise, 0.008), width=320, height=240,
+        )
+        gt = os.path.join(seq, "groundtruth.txt")
+        ini = write_ini(os.path.join(args.workdir, "cfg6.ini"), 256, "icp",
+                        fast=True, width=320, height=240)
+        ates = {}
+        for label, pg in (("posegraph", "40"), ("odometry", "0")):
+            traj = os.path.join(args.workdir, f"traj_cfg6_{label}.txt")
+            argv = [
+                "--config", ini, "--dataset", seq, "--tracker", "icp",
+                "--traj-out", traj, "--groundtruth", gt,
+                "--keyframe-every", "10",
+            ]
+            if pg != "0":
+                argv += ["--posegraph-every", pg]
+            rc, err, wall = run_app(argv)
+            assert rc == 0, f"config 6 {label} failed rc={rc}"
+            ates[label] = ate_of_traj(traj, gt)
+            record(f"6_drift_loop_{label}", seq, source,
+                   {"ate_rmse_cm": round(ates[label] * 100, 4)}, err, wall)
+        impr = (ates["odometry"] - ates["posegraph"]) / max(ates["odometry"], 1e-9)
+        results["posegraph_ab"] = {
+            "ate_posegraph_cm": round(ates["posegraph"] * 100, 4),
+            "ate_odometry_cm": round(ates["odometry"] * 100, 4),
+            "improvement_pct": round(impr * 100, 1),
+        }
+        print(f"[baseline] config 6 drift A/B: posegraph "
+              f"{ates['posegraph']*100:.3f} cm vs odometry "
+              f"{ates['odometry']*100:.3f} cm ({impr*100:+.1f}%)",
+              file=sys.stderr)
+
+    # ------- config 7: noise / dropout robustness sweep ----------------
+    # The synthetic baseline numbers validate plumbing; this sweep records
+    # how ATE degrades as depth noise and dropout rise, for ICP vs SDF
+    # (the reference's evaluation intent, README.md:8, stressed within the
+    # no-network constraint).
+    if 7 in configs:
+        sweep = []
+        nf = min(args.frames, 100)
+        for sigma in (0.002, 0.005, 0.01):
+            for drop in ((0.0, 0.2) if sigma == 0.005 else (0.0,)):
+                seq, source = ensure_sequence(
+                    args.data_root, "fr1_desk", "desk", nf, sigma,
+                    width=320, height=240, dropout=drop,
+                )
+                gt = os.path.join(seq, "groundtruth.txt")
+                for tracker in ("icp", "sdf"):
+                    ini = write_ini(
+                        os.path.join(args.workdir, f"cfg7_{tracker}.ini"),
+                        256, tracker, fast=True, width=320, height=240,
+                    )
+                    traj = os.path.join(args.workdir, "traj_cfg7.txt")
+                    rc, err, wall = run_app([
+                        "--config", ini, "--dataset", seq, "--tracker", tracker,
+                        "--traj-out", traj, "--groundtruth", gt,
+                    ])
+                    assert rc == 0, f"config 7 {tracker} s={sigma} failed"
+                    ate = ate_of_traj(traj, gt)
+                    met = parse_metrics(err)
+                    point = {
+                        "tracker": tracker, "noise": sigma, "dropout": drop,
+                        "ate_rmse_cm": round(ate * 100, 4),
+                        "lost": "lost 0" not in err,
+                        "fps": met.get("fps"),
+                    }
+                    sweep.append(point)
+                    print(f"[baseline] stress {point}", file=sys.stderr)
+        results["stress_sweep"] = sweep
+
+    # ------- config 8: strict-parity ICP, short, for chip execution ----
+    # Strict settings (subsample 1, eps 0 — the reference's fixed 10/5/4
+    # GN schedule) on whatever backend is active; run WITHOUT --cpu on the
+    # TPU host to give strict-parity settings chip execution evidence.
+    if 8 in configs:
+        nf = min(args.frames, 40)
+        seq, source = ensure_sequence(args.data_root, "fr1_desk", "desk",
+                                      nf, args.noise)
+        gt = os.path.join(seq, "groundtruth.txt")
+        ini = write_ini(os.path.join(args.workdir, "cfg8.ini"), 256, "icp",
+                        fast=None)
+        traj = os.path.join(args.workdir, "traj_cfg8.txt")
         rc, err, wall = run_app([
             "--config", ini, "--dataset", seq, "--tracker", "icp",
             "--traj-out", traj, "--groundtruth", gt,
-            "--keyframe-every", "20", "--posegraph-every", "50",
+            "--max-frames", str(nf),
         ])
-        assert rc == 0, f"config 5 failed rc={rc}"
+        assert rc == 0, f"config 8 failed rc={rc}"
         ate = ate_of_traj(traj, gt)
-        record("5_long_office_posegraph", seq, source,
+        record("8_icp_strict_short", seq, source,
                {"ate_rmse_cm": round(ate * 100, 4)}, err, wall)
 
     with open(args.out, "w") as f:

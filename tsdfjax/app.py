@@ -31,6 +31,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run N synthetic frames instead of a dataset")
     p.add_argument("--tracker", choices=["icp", "sdf", "file", "none"],
                    help="override tracker selection from the config switches")
+    p.add_argument("--engine", choices=["dense", "sharded"], default="dense",
+                   help="'sharded' runs the block-partitioned volume over a "
+                        "jax device mesh (ppermute halo exchange + psum'd "
+                        "tracker reductions; BASELINE config 5 / SURVEY.md "
+                        "§2.7). 'dense' is the single-device engine.")
+    p.add_argument("--devices", type=int, default=0,
+                   help="device count for --engine sharded (0 = all visible "
+                        "jax devices). Volume resolution must divide it.")
     p.add_argument("--max-frames", type=int, default=0, help="0 = all")
     p.add_argument("--mesh-out", help="save marching-cubes mesh here at the end")
     p.add_argument("--texture-out",
@@ -88,11 +96,23 @@ def main(argv=None) -> int:
         sw = cfg.switches
         mode = "file" if sw.use_traj_from_file else ("sdf" if sw.use_sdf_tracker else "icp")
 
-    engine = FusionEngine(cfg, mode=mode)
-    if args.resume:
-        from tsdfjax.checkpoint import load_state
+    if args.engine == "sharded":
+        from tsdfjax.parallel import ShardedFusion, make_space_mesh
 
-        engine.state = load_state(args.resume, cfg)
+        mesh = make_space_mesh(args.devices or None)
+        engine = ShardedFusion(cfg, mesh=mesh, mode=mode)
+        print(f"sharded engine: {engine.n} devices x "
+              f"{cfg.volume.resolution // engine.n} voxel slabs, halo "
+              f"{engine.halo}", file=sys.stderr)
+    else:
+        engine = FusionEngine(cfg, mode=mode)
+    if args.resume:
+        if args.engine == "sharded":
+            engine.load_checkpoint(args.resume)
+        else:
+            from tsdfjax.checkpoint import load_state
+
+            engine.state = load_state(args.resume, cfg)
         print(f"resumed at frame {int(engine.state.frame_id)}", file=sys.stderr)
 
     # ---------------- data source ----------------
@@ -147,6 +167,10 @@ def main(argv=None) -> int:
     kfman = KeyframeManager(interval=max(args.keyframe_every, 1))
     traj = tum.TrajectoryWriter(args.traj_out) if args.traj_out else None
     estimated = []
+    # tracked (pre-optimization) pose of each keyframe, by frame id — the
+    # final pose-graph pass computes per-keyframe drift corrections
+    # against these snapshots (kfman poses get re-anchored mid-run)
+    kf_snapshots: dict[int, tuple[float, np.ndarray]] = {}
     n_done = 0
     consecutive_lost = 0
     t_start = time.perf_counter()
@@ -175,9 +199,12 @@ def main(argv=None) -> int:
                       f"{kfman.last.frame_id}", file=sys.stderr)
                 consecutive_lost = 0
             if ok:
-                kfman.maybe_add(frame_id, ts, pose_np,
-                                depth_m=np.asarray(depth) if frame_id % kfman.interval == 0 else None,
-                                rgb=None if rgb is None else np.asarray(rgb))
+                if kfman.maybe_add(
+                    frame_id, ts, pose_np,
+                    depth_m=np.asarray(depth) if frame_id % kfman.interval == 0 else None,
+                    rgb=None if rgb is None else np.asarray(rgb),
+                ):
+                    kf_snapshots[frame_id] = (ts, pose_np.copy())
                 if traj:
                     traj.record(pose_np, ts)
                 estimated.append((ts, pose_np))
@@ -235,15 +262,69 @@ def main(argv=None) -> int:
     print(f"{n_done} frames in {dt:.1f}s ({n_done/max(dt,1e-9):.2f} fps), "
           f"lost {int(engine.state.lost_count)}", file=sys.stderr)
 
+    # Final pose-graph pass: optimize the keyframe graph once more and
+    # bend the RECORDED trajectory onto it. The mid-run correction only
+    # pulls the live pose forward; this offline fix is what the TUM ATE
+    # evaluation sees (BASELINE north_star: "pose-graph over keyframes
+    # handles drift"). Per-frame corrections interpolate the per-keyframe
+    # drift estimates (opt_k vs the tracked pose snapshot) linearly in
+    # se(3) between keyframe timestamps.
+    if (args.posegraph_every and mode in ("icp", "sdf") and len(kfman) >= 3
+            and estimated):
+        from tsdfjax.posegraph import build_keyframe_graph
+        from tsdfjax.geometry import exp_se3, log_se3
+
+        g = build_keyframe_graph(
+            list(kfman), cfg.depth_camera, cfg.icp, cfg.preprocess
+        )
+        opt = g.optimize()
+        n_closures = sum(1 for e in g.edges if abs(e[1] - e[0]) > 1)
+        kts, xis = [], []
+        for k, kf in enumerate(kfman):
+            snap = kf_snapshots.get(kf.frame_id)
+            if snap is None:
+                continue
+            corr = np.asarray(opt[k], np.float64) @ np.linalg.inv(
+                np.asarray(snap[1], np.float64)
+            )
+            kts.append(snap[0])
+            xis.append(np.asarray(log_se3(jnp.asarray(corr, jnp.float32)),
+                                  np.float64))
+        if len(kts) >= 2:
+            kts_a = np.asarray(kts)
+            xis_a = np.stack(xis)  # (K, 6)
+            ts_a = np.asarray([t for t, _ in estimated])
+            xi_frames = np.stack(
+                [np.interp(ts_a, kts_a, xis_a[:, i]) for i in range(6)], axis=1
+            )
+            corrs = np.asarray(
+                jax.vmap(exp_se3)(jnp.asarray(xi_frames, jnp.float32))
+            ).astype(np.float64)
+            estimated = [
+                (t, (corrs[i] @ np.asarray(p, np.float64)).astype(np.float32))
+                for i, (t, p) in enumerate(estimated)
+            ]
+            max_mm = float(np.max(np.linalg.norm(xi_frames[:, 3:], axis=1))) * 1000
+            print(f"final pose-graph: {len(opt)} keyframes, {n_closures} loop "
+                  f"closures, max trajectory correction |t| = {max_mm:.1f} mm",
+                  file=sys.stderr)
+            if args.traj_out:
+                with tum.TrajectoryWriter(args.traj_out) as tw:
+                    for t, p in estimated:
+                        tw.record(p, t)
+
     # ---------------- outputs ----------------
     if args.keyframe_dir and len(kfman):
         kfman.write_to_dir(args.keyframe_dir)
         print(f"wrote {len(kfman)} keyframes to {args.keyframe_dir}", file=sys.stderr)
 
     if args.checkpoint:
-        from tsdfjax.checkpoint import save_state
+        if args.engine == "sharded":
+            engine.save_checkpoint(args.checkpoint)
+        else:
+            from tsdfjax.checkpoint import save_state
 
-        save_state(args.checkpoint, engine.state, cfg)
+            save_state(args.checkpoint, engine.state, cfg)
         print(f"checkpoint -> {args.checkpoint}", file=sys.stderr)
 
     mesh_path = args.mesh_out or (cfg.io.mesh_filename if args.config else None)
@@ -251,11 +332,19 @@ def main(argv=None) -> int:
         from tsdfjax import mesh as M
 
         t0 = time.perf_counter()
-        mesh = M.extract_mesh(
-            engine.state.volume, cfg.volume,
-            max_triangles=cfg.marching_cubes.max_triangles,
-            with_color=cfg.switches.use_color,
-        )
+        if args.engine == "sharded":
+            # distributed marching cubes: per-shard extraction on the
+            # 1-voxel-halo slab, host concat + weld (parallel/sharded.py)
+            mesh = engine.extract_mesh(
+                max_triangles=cfg.marching_cubes.max_triangles,
+                with_color=cfg.switches.use_color,
+            )
+        else:
+            mesh = M.extract_mesh(
+                engine.state.volume, cfg.volume,
+                max_triangles=cfg.marching_cubes.max_triangles,
+                with_color=cfg.switches.use_color,
+            )
         if mesh_path:
             M.save_mesh(mesh, mesh_path)
             print(f"mesh: {mesh.num_vertices} verts / {mesh.num_faces} faces -> "

@@ -230,6 +230,12 @@ class TrajectoryWriter:
     def close(self) -> None:
         self._f.close()
 
+    def __enter__(self) -> "TrajectoryWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def __enter__(self):
         return self
 

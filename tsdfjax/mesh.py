@@ -736,15 +736,24 @@ def _load_ply(path: str) -> Mesh:
                 [f.readline().decode().split()[1:4] for _ in range(n_f)],
                 np.int64,
             ).reshape(n_f, 3)
-        elif fmt == "binary_little_endian":
-            dtype = np.dtype([(name, np_map[t]) for name, t in props])
+        elif fmt in ("binary_little_endian", "binary_big_endian"):
+            # header-declared property layouts, either endianness — the
+            # reference's plyHeader.h/MeshIO.cpp:7-660 parse these
+            # generally; byte order swaps via the numpy dtype prefix
+            bo = "<" if fmt == "binary_little_endian" else ">"
+            dtype = np.dtype(
+                [(name, np_map[t].replace("<", bo)) for name, t in props]
+            )
             vrec = np.frombuffer(f.read(dtype.itemsize * n_v), dtype=dtype)
             vdata = {name: vrec[name] for name, _t in props}
-            fdt = np.dtype([("n", "u1"), ("idx", "<i4", 3)])
+            fdt = np.dtype([("n", "u1"), ("idx", f"{bo}i4", 3)])
             fdata = np.frombuffer(f.read(fdt.itemsize * n_f), dtype=fdt)
-            faces = fdata["idx"]
+            faces = fdata["idx"].astype(np.int64)
         else:
-            raise ValueError(f"unsupported ply format {fmt!r}")
+            raise ValueError(
+                f"unsupported ply format {fmt!r} (ascii, "
+                "binary_little_endian and binary_big_endian are supported)"
+            )
         verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], axis=1)
         colors = None
         if "red" in vdata:

@@ -29,7 +29,8 @@ def _build(src_dir: str) -> str | None:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", out],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+             src, "-o", out],
             check=True, capture_output=True, timeout=120,
         )
         return out

@@ -1069,6 +1069,270 @@ def fast_raycast(
 
 
 # ---------------------------------------------------------------------------
+# sweep SDF sampling (the fast SDF tracker's row kernel)
+# ---------------------------------------------------------------------------
+
+
+def sdf_sweep_stack(
+    tsdf: Array, weight: Array, axis: int, stride: int, dtype=jnp.bfloat16
+) -> Array:
+    """(R,R,R) native volume -> (2, n_k, R, R) sweep-layout [k,i,j]
+    channel stack [tsdf, observed] holding every `stride`-th slice. Built
+    ONCE per tracking call: the volume is constant during the GN loop
+    (the reference re-samples it 13x per pixel per iteration instead,
+    CalSDFErrSolverParams.cu:38-67)."""
+    perm = _PERMS[axis]
+    v = (weight > 0).astype(dtype)
+    t = tsdf.astype(dtype)
+    if stride > 1:
+        n_k = tsdf.shape[axis] // stride
+
+        def pick(arr):
+            shp = arr.shape
+            grouped = arr.reshape(shp[:axis] + (n_k, stride) + shp[axis + 1:])
+            return jax.lax.index_in_dim(grouped, 0, axis=axis + 1, keepdims=False)
+
+        t, v = pick(t), pick(v)
+    return jnp.stack([jnp.transpose(t, perm), jnp.transpose(v, perm)], axis=0)
+
+
+def sdf_sweep_prepare(
+    pose0: Array,
+    depth: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    axis: int,
+    q_oversample: float = 1.1,
+) -> dict:
+    """Per-FRAME q-space quantities for the sweep SDF tracker, frozen at
+    the tracking call's initial pose: the q grid, each q ray's target
+    depth (the depth of its nearest pixel), and the pixel MULTIPLICITY
+    map w (how many valid-depth pixels select each q point). With these
+    frozen, the GN iterations need NO gathers at all: the per-pixel sum
+    of Gauss-Newton rows equals the per-q sum weighted by w exactly, so
+    the normal equations are assembled in q space (sdf_sweep_normal_eqs)
+    and only the 7x7 moment matrix leaves the sweep. Freezing the
+    pixel<->q association across iterations shifts associations by the
+    (sub-pixel) per-iteration pose delta — the same class of approximation
+    as the fast integrate's nearest-of-nearest lookup."""
+    res = vol_cfg.resolution
+    h, w = cam.height, cam.width
+    geom = make_sweep_geom(pose0, cam, vol_cfg, axis)
+    qh = _round8(int(h * q_oversample))
+    qw = _round128(int(w * q_oversample))
+    q_grid = _q_grid_for(geom, cam, res, qh, qw)
+    q1_0, q1_s, q2_0, q2_s, _, _ = q_grid
+    q1 = q1_0 + jnp.arange(qh, dtype=jnp.float32) / q1_s
+    q2 = q2_0 + jnp.arange(qw, dtype=jnp.float32) / q2_s
+
+    d_q = _warp_image_to_q(depth[None], geom, q_grid, "nearest")[0]
+
+    # pixel -> nearest q point; multiplicity via one scatter-add
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    phom = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1) @ geom.w_inv.T
+    wz = phom[..., 2]
+    wz_safe = jnp.where(jnp.abs(wz) < 1e-20, 1e-20, wz)
+    gi = jnp.floor((phom[..., 0] / wz_safe - q1_0) * q1_s + 0.5).astype(jnp.int32)
+    gj = jnp.floor((phom[..., 1] / wz_safe - q2_0) * q2_s + 0.5).astype(jnp.int32)
+    in_grid = (gi >= 0) & (gi < qh) & (gj >= 0) & (gj < qw)
+    flat = jnp.where(in_grid, gi * qw + gj, 0)
+    contrib = jnp.where(in_grid & (depth > 0), 1.0, 0.0)
+    w_mult = (
+        jnp.zeros(qh * qw, jnp.float32)
+        .at[flat.reshape(-1)]
+        .add(contrib.reshape(-1))
+        .reshape(qh, qw)
+    )
+    return dict(q1=q1, q2=q2, q1_s=q1_s, q2_s=q2_s, d_q=d_q, w_mult=w_mult)
+
+
+def sdf_sweep_normal_eqs(
+    prep: dict,
+    vol_samp: Array,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    axis: int,
+    stride: int,
+    dtype=jnp.bfloat16,
+) -> tuple[Array, Array, Array]:
+    """One GN iteration's (a7 (7,7), n_valid, |psi| sum) for the direct
+    SDF tracker — the reference's 27-scalar reduction
+    (CalSDFErrSolverParams.cu:88-108) — evaluated with the SAME MXU
+    shear-warp machinery as fast_raycast, entirely in q space:
+
+      - each q grid point is one camera ray; its sample point is the ray
+        at its target depth d (frozen in `prep`), which the k-sweep
+        crosses exactly once (z = gamma_k * w2q is monotone in k);
+      - resample strided volume slices onto the q grid (two bf16 matmuls
+        per slice), latch the slice interval whose crossing depths
+        bracket d, lerp [tsdf, validity, in-plane diffs] there;
+      - reconstruct the analytic world gradient by the chain rule (the
+        h->0 limit of the reference's 13-sample numeric scheme), build
+        the GN rows elementwise, and MXU-reduce them weighted by the
+        pixel multiplicity w — an EXACT rewrite of the per-pixel sum;
+      - the k-loop visits only the slice band [min, max] of the target
+        depths (lax.fori_loop with traced bounds). ZERO gathers."""
+    vthresh = 0.97 if dtype == jnp.bfloat16 else 0.999
+    res = vol_cfg.resolution
+    cell = vol_cfg.voxel_size_m
+    n_k = vol_samp.shape[1]
+    geom = make_sweep_geom(pose, cam, vol_cfg, axis)
+    q1, q2 = prep["q1"], prep["q2"]
+    q1_s, q2_s = prep["q1_s"], prep["q2_s"]
+    d_q = prep["d_q"]
+    qh, qw = d_q.shape
+    w2q = (
+        geom.w[2, 0] * q1[:, None] + geom.w[2, 1] * q2[None, :] + geom.w[2, 2]
+    )  # (Qh, Qw)
+    wsafe = jnp.where(jnp.abs(w2q) < 1e-8, 1e-8, w2q)
+    k_t = d_q / wsafe - geom.kappa  # fractional sweep index of the target
+    has_target = (d_q > 0) & (k_t >= 0.0) & (k_t <= float(res - 1))
+
+    # sweep band: only slices around the target depths are visited
+    big = jnp.float32(res)
+    k_min = jnp.min(jnp.where(has_target, k_t, big))
+    k_max = jnp.max(jnp.where(has_target, k_t, -big))
+    bsz = RAYCAST_BSZ if n_k % RAYCAST_BSZ == 0 else 1
+    m_lo = jnp.clip(
+        jnp.floor(k_min / stride).astype(jnp.int32) - 1, 0, jnp.int32(n_k)
+    )
+    m_hi = jnp.clip(
+        jnp.floor(k_max / stride).astype(jnp.int32) + 2, 0, jnp.int32(n_k)
+    )
+    t_lo = m_lo // bsz
+    t_hi = (m_hi + bsz - 1) // bsz
+    m_first = t_lo * bsz  # first visited slice: no prev, bracket skipped
+
+    def resample_sweep(src_bcrr, kb):
+        gamma = kb.astype(jnp.float32) + geom.kappa
+        usable = jnp.abs(gamma) >= 1e-3
+        gsafe = jnp.where(usable, gamma, 1.0)
+        rows = q1[None, :] * gsafe[:, None] - geom.alpha
+        cols = q2[None, :] * gsafe[:, None] - geom.beta
+        if src_bcrr.shape[0] == 1:
+            out = resample_slice(src_bcrr[0], rows[0], cols[0], "linear", dtype=dtype)[None]
+        else:
+            out = resample_slices_batched_src(src_bcrr, rows, cols, "linear", dtype=dtype)
+        out = jnp.where(usable[:, None, None, None], out, 0.0)
+        return out.astype(dtype), usable
+
+    zero_qd = jnp.zeros((qh, qw), dtype)
+    init = dict(
+        prev=jnp.zeros((2, qh, qw), dtype),
+        prev_di=zero_qd,
+        prev_dj=zero_qd,
+        prev_usable=jnp.array(False),
+        found=jnp.zeros((qh, qw), bool),
+        psi=jnp.zeros((qh, qw), jnp.float32),
+        ok=jnp.zeros((qh, qw), bool),
+        di=zero_qd,
+        dj=zero_qd,
+        rd=zero_qd,
+    )
+
+    def composite(st, cur, m, usable):
+        k = (m * stride).astype(jnp.float32)
+        f_cur = cur[0].astype(jnp.float32)
+        f_prev = st["prev"][0].astype(jnp.float32)
+        cur_di = 0.5 * (_shift2(cur[0], 0, +1) - _shift2(cur[0], 0, -1))
+        cur_dj = 0.5 * (_shift2(cur[0], 1, +1) - _shift2(cur[0], 1, -1))
+        # bracket: target k_t inside (k - stride, k]
+        hit = (
+            (m > m_first)
+            & usable
+            & st["prev_usable"]
+            & has_target
+            & (k_t > k - float(stride))
+            & (k_t <= k)
+        )
+        frac = ((k_t - (k - float(stride))) * (1.0 / stride)).astype(jnp.float32)
+        psi_new = f_prev + frac * (f_cur - f_prev)
+        v_new = (
+            st["prev"][1].astype(jnp.float32)
+            + frac * (cur[1].astype(jnp.float32) - st["prev"][1].astype(jnp.float32))
+        )
+        fracd = frac.astype(dtype)
+        di_new = st["prev_di"] + fracd * (cur_di - st["prev_di"])
+        dj_new = st["prev_dj"] + fracd * (cur_dj - st["prev_dj"])
+        rd_new = ((f_cur - f_prev) * (1.0 / stride)).astype(dtype)
+        return dict(
+            prev=cur,
+            prev_di=cur_di,
+            prev_dj=cur_dj,
+            prev_usable=usable,
+            found=st["found"] | hit,
+            psi=jnp.where(hit, psi_new, st["psi"]),
+            ok=jnp.where(hit, v_new > vthresh, st["ok"]),
+            di=jnp.where(hit, di_new, st["di"]),
+            dj=jnp.where(hit, dj_new, st["dj"]),
+            rd=jnp.where(hit, rd_new, st["rd"]),
+        )
+
+    def body(t, st):
+        m0 = t * bsz
+        src = jax.lax.dynamic_slice_in_dim(vol_samp, m0, bsz, axis=1)
+        src = jnp.swapaxes(src, 0, 1)  # (B, 2, R, R)
+        block, usables = resample_sweep(src, (m0 + jnp.arange(bsz)) * stride)
+        for b in range(bsz):
+            st = composite(st, block[b], m0 + b, usables[b])
+        return st
+
+    st = jax.lax.fori_loop(t_lo, t_hi, body, init)
+
+    # chain rule (k, gi, gj) -> world, in 1/meter units (see _raycast_axis)
+    gamma_star = k_t + geom.kappa
+    gsafe_star = jnp.where(jnp.abs(gamma_star) < 1e-3, 1.0, gamma_star)
+    psi_i = st["di"].astype(jnp.float32) * (q1_s / gsafe_star)
+    psi_j = st["dj"].astype(jnp.float32) * (q2_s / gsafe_star)
+    psi_k = (
+        st["rd"].astype(jnp.float32) - psi_i * q1[:, None] - psi_j * q2[None, :]
+    )
+    inv_cell = 1.0 / cell
+    gx = (
+        psi_k * geom.u_a[0] + psi_i * geom.u_b[0] + psi_j * geom.u_c[0]
+    ) * inv_cell
+    gy = (
+        psi_k * geom.u_a[1] + psi_i * geom.u_b[1] + psi_j * geom.u_c[1]
+    ) * inv_cell
+    gz = (
+        psi_k * geom.u_a[2] + psi_i * geom.u_b[2] + psi_j * geom.u_c[2]
+    ) * inv_cell
+    # world sample point, elementwise (same parametrization as raycast)
+    i_star = q1[:, None] * gamma_star - geom.alpha
+    j_star = q2[None, :] * gamma_star - geom.beta
+    px_ = ((k_t + 0.5) * geom.u_a[0] + (i_star + 0.5) * geom.u_b[0]
+           + (j_star + 0.5) * geom.u_c[0]) * cell
+    py_ = ((k_t + 0.5) * geom.u_a[1] + (i_star + 0.5) * geom.u_b[1]
+           + (j_star + 0.5) * geom.u_c[1]) * cell
+    pz_ = ((k_t + 0.5) * geom.u_a[2] + (i_star + 0.5) * geom.u_b[2]
+           + (j_star + 0.5) * geom.u_c[2]) * cell
+
+    wv = jnp.where(st["found"] & st["ok"], prep["w_mult"], 0.0)  # (Qh, Qw)
+    psi = jnp.where(wv > 0, st["psi"], 0.0)
+    rows = jnp.stack(
+        [
+            -gy * pz_ + gz * py_,  # d(psi)/d(omega) = grad . (G_i p)
+            gx * pz_ - gz * px_,
+            -gx * py_ + gy * px_,
+            gx, gy, gz,
+            psi,
+        ],
+        axis=-1,
+    )
+    rows = jnp.where(wv[..., None] > 0, rows, 0.0).reshape(-1, 7)
+    r_w = rows * wv.reshape(-1, 1)
+    a7 = jnp.dot(
+        r_w.T, rows, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n_val = jnp.sum(wv)
+    res_sum = jnp.sum(jnp.abs(psi) * wv)
+    return a7, n_val, res_sum
+
+
+# ---------------------------------------------------------------------------
 # sharded fast raycast
 # ---------------------------------------------------------------------------
 

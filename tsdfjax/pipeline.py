@@ -33,7 +33,7 @@ from tsdfjax import frames as F
 from tsdfjax import volume as V
 from tsdfjax import raycast as R
 from tsdfjax.trackers.icp import icp_track
-from tsdfjax.trackers.sdf import sdf_track, sdf_track_fast
+from tsdfjax.trackers.sdf import sdf_track, sdf_track_sweep
 from tsdfjax.ops.sweep import fast_integrate, fast_raycast
 
 Array = jnp.ndarray
@@ -109,11 +109,17 @@ def _track(cfg: AppConfig, mode: str, state: FusionState, trunced, verts, normal
     if mode == "sdf":
 
         def run(_):
-            track = sdf_track_fast if cfg.fast_ops else sdf_track
-            res = track(
-                state.volume, trunced, state.pose, cfg.depth_camera,
-                cfg.volume, cfg.sdf_tracker,
-            )
+            if cfg.fast_ops:
+                res = sdf_track_sweep(
+                    state.volume, trunced, state.pose, cfg.depth_camera,
+                    cfg.volume, cfg.sdf_tracker,
+                    sdf_trunc_m=cfg.integrate.sdf_trunc_m,
+                )
+            else:
+                res = sdf_track(
+                    state.volume, trunced, state.pose, cfg.depth_camera,
+                    cfg.volume, cfg.sdf_tracker,
+                )
             pose = jnp.where(res.ok, res.pose, state.pose)
             return pose, res.ok, res.residual, res.num_valid
 

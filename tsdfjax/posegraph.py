@@ -123,6 +123,41 @@ class PoseGraph:
         return err
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "icp_cfg", "pre_cfg"))
+def _pairwise_icp_jit(depth_a, pose_a, depth_b, pose_b, cam, icp_cfg, pre_cfg):
+    """Jitted keyframe-pair point-to-plane ICP (one compile per config —
+    running this eagerly recompiles the GN while_loop with the pyramid
+    arrays baked in as constants on EVERY call, which exhausts host
+    memory on long runs)."""
+    from tsdfjax import frames as F
+    from tsdfjax.geometry import transform_points, rotate_vectors
+    from tsdfjax.trackers.icp import icp_track
+
+    def maps_of(d):
+        tr = F.truncate_depth(d, pre_cfg.min_trunc_m, pre_cfg.max_trunc_m)
+        fi = F.bilateral_filter(tr, pre_cfg.sigma_pixel, pre_cfg.sigma_depth)
+        v = F.depth_to_vertices(fi, cam)
+        return v, F.vertices_to_normals(v)
+
+    va, na = maps_of(depth_a)
+    vb, nb = maps_of(depth_b)
+    # model maps live in world coords in the tracker; put A's maps there
+    mv = transform_points(pose_a, va)
+    mv = jnp.where(jnp.any(va != 0, axis=-1, keepdims=True), mv, 0.0)
+    mn = rotate_vectors(pose_a, na)
+
+    levels = icp_cfg.pyramid_levels
+    nvp = F.build_pyramid(vb, levels, F.downsample_vertices)
+    nnp = F.build_pyramid(nb, levels, F.downsample_normals)
+    mvp = F.build_pyramid(mv, levels, F.downsample_vertices)
+    mnp = F.build_pyramid(mn, levels, F.downsample_normals)
+    res = icp_track(nvp, nnp, mvp, mnp, pose_b, cam, icp_cfg)
+    return res.pose, res.ok, res.num_corr, res.residual
+
+
 def icp_relative_pose(
     kf_a, kf_b, cam, icp_cfg, preprocess_cfg
 ) -> tuple[np.ndarray, bool, int, float]:
@@ -131,39 +166,14 @@ def icp_relative_pose(
     Reuses the tracker's fused row kernel with keyframe A's maps (in A's
     world) as the model; num_corr/residual let the caller judge whether
     the alignment is a genuine loop closure."""
-    import jax.numpy as jnp_
-
-    from tsdfjax import frames as F
-    from tsdfjax.geometry import transform_points, rotate_vectors
-    from tsdfjax.trackers.icp import icp_track
-
-    def maps_of(kf):
-        d = jnp_.asarray(kf.depth_m)
-        tr = F.truncate_depth(d, preprocess_cfg.min_trunc_m, preprocess_cfg.max_trunc_m)
-        fi = F.bilateral_filter(tr, preprocess_cfg.sigma_pixel, preprocess_cfg.sigma_depth)
-        v = F.depth_to_vertices(fi, cam)
-        nrm = F.vertices_to_normals(v)
-        return v, nrm
-
-    va, na = maps_of(kf_a)
-    vb, nb = maps_of(kf_b)
-    pose_a = jnp_.asarray(kf_a.pose)
-    # model maps live in world coords in the tracker; put A's maps there
-    mv = transform_points(pose_a, va)
-    mv = jnp_.where(jnp_.any(va != 0, axis=-1, keepdims=True), mv, 0.0)
-    mn = rotate_vectors(pose_a, na)
-
-    levels = icp_cfg.pyramid_levels
-    nvp = F.build_pyramid(vb, levels, F.downsample_vertices)
-    nnp = F.build_pyramid(nb, levels, F.downsample_normals)
-    mvp = F.build_pyramid(mv, levels, F.downsample_vertices)
-    mnp = F.build_pyramid(mn, levels, F.downsample_normals)
-    init_pose = jnp_.asarray(kf_b.pose)
-    res = icp_track(nvp, nnp, mvp, mnp, init_pose, cam, icp_cfg)
-    t_ab = np.linalg.inv(kf_a.pose) @ np.asarray(res.pose)
+    pose, ok, num_corr, residual = _pairwise_icp_jit(
+        jnp.asarray(kf_a.depth_m), jnp.asarray(kf_a.pose),
+        jnp.asarray(kf_b.depth_m), jnp.asarray(kf_b.pose),
+        cam, icp_cfg, preprocess_cfg,
+    )
+    t_ab = np.linalg.inv(kf_a.pose) @ np.asarray(pose)
     return (
-        t_ab.astype(np.float32), bool(res.ok),
-        int(res.num_corr), float(res.residual),
+        t_ab.astype(np.float32), bool(ok), int(num_corr), float(residual),
     )
 
 

@@ -318,6 +318,110 @@ def sdf_rows_fast(
     return jnp.where(valid[..., None], rows, 0.0), valid
 
 
+def _gn_solve_update(a7: Array, cur: Array, ok: Array, done: Array, cfg: SdfTrackerConfig):
+    """Shared GN inner step: 6x6 Cholesky solve of the psum'd normal
+    equations, shake/finite rejection, ||x|| convergence, and the
+    reference's inverse-composed exp-map update
+    (CameraPoseFinderSDF.cpp:79-100). Returns (cur, ok, done)."""
+    a = a7[:6, :6]
+    b = a7[:6, 6]
+    factor = jax.scipy.linalg.cho_factor(a + jnp.eye(6, dtype=jnp.float32) * 1e-20)
+    x = jax.scipy.linalg.cho_solve(factor, b)
+    _, angle, dist = delta_pose_from_6dof(x)
+    finite = jnp.all(jnp.isfinite(x))
+    shake = (angle > cfg.angle_shake_rad) | (dist > cfg.dist_shake_m) | ~finite
+    active = ok & ~done
+    ok = ok & (~active | ~shake)
+    converged = jnp.linalg.norm(x) < cfg.convergence_eps
+    done = done | (active & converged)
+    aff = exp_se3(x)
+    r_exp_t = aff[:3, :3].T
+    t_upd = se3_from_rt(r_exp_t @ cur[:3, :3], cur[:3, 3] - r_exp_t @ aff[:3, 3])
+    apply = active & ~shake & ~converged
+    cur = jnp.where(apply, t_upd, cur)
+    return cur, ok, done
+
+
+def sdf_track_sweep(
+    volume: TsdfVolume,
+    trunced_depth: Array,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    cfg: SdfTrackerConfig,
+    sdf_trunc_m: float | None = None,
+) -> SdfResult:
+    """MXU shear-warp SDF tracker: per GN iteration, ONE sweep of the
+    strided volume slice stack resampled onto the q grid (two bf16
+    matmuls per slice, ops/sweep.sdf_sweep_normal_eqs) assembles the
+    7x7 normal equations with psi and the analytic world gradient at
+    every pixel's sample point — replacing the per-pixel trilinear
+    gathers that made the packed-field fast path gather-bound on TPU
+    (~70 ms/iter at 640x480/256^3). The strided slice stack AND the
+    pixel<->q association (target depths + multiplicity weights) are
+    built once per call; the GN iterations are gather-free.
+
+    Same GN semantics as sdf_track_fast: analytic-gradient rows (the
+    h->0 limit of the reference's 13-sample scheme), shake rejection,
+    ||x|| < eps early exit, inverse-composed exp-map update
+    (CameraPoseFinderSDF.cpp:44-106). `sdf_trunc_m` (the integration
+    truncation) licenses the slice stride exactly as in fast_raycast."""
+    from tsdfjax.ops.sweep import (
+        _raycast_stride,
+        pick_sweep_axis,
+        sdf_sweep_normal_eqs,
+        sdf_sweep_prepare,
+        sdf_sweep_stack,
+    )
+
+    stride = _raycast_stride(vol_cfg, sdf_trunc_m)
+    # axis fixed for the whole GN loop from the initial pose (per-iter
+    # pose deltas are far below the 1/sqrt(3) axis-switch margin)
+    axis = pick_sweep_axis(pose)
+
+    def branch(a):
+        def run(_):
+            vol_samp = sdf_sweep_stack(volume.tsdf, volume.weight, a, stride)
+
+            def gn_iter(prep, carry):
+                i, cur, ok, done, residual, n_val = carry
+                a7, nv_f, res_sum = sdf_sweep_normal_eqs(
+                    prep, vol_samp, cur, cam, vol_cfg, a, stride
+                )
+                cur, ok, done = _gn_solve_update(a7, cur, ok, done, cfg)
+                nv = nv_f.astype(jnp.int32)
+                res = res_sum / jnp.maximum(nv_f, 1.0)
+                return i + 1, cur, ok, done, res, nv
+
+            # Iteration 1 with the association frozen at the INITIAL pose
+            # (exact there); the first step carries the bulk of the
+            # inter-frame motion, which would leave the frozen pixel<->q
+            # association several pixels stale — so prep is rebuilt ONCE
+            # at the stepped pose, and the remaining iterations (whose
+            # per-step motion is sub-pixel) run gather-free against it.
+            init = (
+                jnp.array(0, jnp.int32),
+                pose,
+                jnp.array(True),
+                jnp.array(False),
+                jnp.array(0.0, jnp.float32),
+                jnp.array(0, jnp.int32),
+            )
+            prep0 = sdf_sweep_prepare(pose, trunced_depth, cam, vol_cfg, a)
+            carry = gn_iter(prep0, init)
+            prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg, a)
+            i, cur, ok, _, residual, n_val = jax.lax.while_loop(
+                lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
+                lambda c: gn_iter(prep1, c),
+                carry,
+            )
+            return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
+
+        return run
+
+    return jax.lax.switch(axis, [branch(0), branch(1), branch(2)], None)
+
+
 def sdf_track_fast(
     volume: TsdfVolume,
     trunced_depth: Array,
