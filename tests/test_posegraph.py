@@ -106,6 +106,39 @@ class TestKeyframeIcpEdges:
         t_ab_true = np.linalg.inv(pa) @ pb
         np.testing.assert_allclose(t_ab[:3, 3], t_ab_true[:3, 3], atol=0.01)
 
+    def test_icp_associates_through_model_camera(self):
+        """Regression: pairwise ICP must project into keyframe A's camera
+        grid (model_pose), not B's. With the old inv(pose_b) association
+        the correspondence count collapses once the keyframes are far
+        apart — on smooth scenes the bug hid behind the 0.1 m dist gate,
+        on the drift-loop eval it silently produced 0 loop closures."""
+        from tsdfjax.config import DepthPreprocessConfig, IcpConfig
+        from tsdfjax.geometry import CameraIntrinsics
+        from tsdfjax.keyframes import Keyframe
+
+        cam = CameraIntrinsics(160, 120, 150.0, 150.0, 79.5, 59.5)
+        scene = syn.default_scene(2.0)
+        c = 1.0
+        # widely separated viewpoints looking at the same scene center
+        pa = syn.look_at(np.array([c - 0.35, c + 0.1, -0.25]), np.array([c, c, c]))
+        pb = syn.look_at(np.array([c + 0.35, c - 0.1, -0.20]), np.array([c, c, c]))
+        da = np.asarray(syn.render_depth(jnp.asarray(pa), cam, scene))
+        db = np.asarray(syn.render_depth(jnp.asarray(pb), cam, scene))
+        kfa = Keyframe(0, 0.0, pa, da, None)
+        pb_bad = pb.copy()
+        pb_bad[:3, 3] += np.array([-0.015, 0.02, 0.01], np.float32)
+        kfb = Keyframe(1, 1.0, pb_bad, db, None)
+        t_ab, ok, n_corr, resid = icp_relative_pose(
+            kfa, kfb, cam, IcpConfig(pyramid_levels=2),
+            DepthPreprocessConfig(sigma_pixel=1.0),
+        )
+        assert ok
+        # the buggy association leaves only a sliver of correspondences
+        # at this separation; the correct camera keeps a solid fraction
+        assert n_corr > 0.10 * cam.width * cam.height
+        t_ab_true = np.linalg.inv(pa) @ pb
+        np.testing.assert_allclose(t_ab[:3, 3], t_ab_true[:3, 3], atol=0.012)
+
 
 class TestTexturing:
     def test_textured_obj_mtl_written(self, tmp_path):

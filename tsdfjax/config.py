@@ -133,6 +133,14 @@ class SdfTrackerConfig:
     # ~77k of ~300k constraints estimate the same 6-DoF system well below
     # the tracking noise floor, and TPU gather cost is per sample)
     source_subsample: int = 1
+    # q-grid density of the sweep tracker relative to the camera image
+    # (ops/sweep.sdf_sweep_prepare). The pixel->q nearest association
+    # quantizes each pixel to its closest q ray; 1.1 loses ~2x tracking
+    # accuracy to that quantization (tools/prof_sdf_acc.py ablation:
+    # 5.32 mm rmse at 1.1 vs 2.75 mm at 1.6 vs packed-field 2.25 mm).
+    # Cost is ~2x the per-iteration normal-equation sweep, well inside
+    # the tracker's fps headroom.
+    q_oversample: float = 1.6
 
 
 @dataclass(frozen=True)
@@ -273,6 +281,7 @@ def load_ini(path: str) -> AppConfig:
         dist_shake_m=_get(cp, "sdfTracker", "camera_shake_dist", 0.4, float),
         angle_shake_rad=_get(cp, "sdfTracker", "camera_shake_angle", 0.4, float),
         source_subsample=_get(cp, "tsdfjax", "sdf_source_subsample", 1, int),
+        q_oversample=_get(cp, "tsdfjax", "sdf_q_oversample", 1.6, float),
     )
     mc = MarchingCubesConfig(
         max_triangles=_get(cp, "mesh", "max_triangle_num", 1_500_000, int),

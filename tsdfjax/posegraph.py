@@ -52,9 +52,18 @@ class PoseGraph:
     # ------------------------------------------------------------------
 
     def optimize(self, iters: int = 10, damping: float = 1e-6) -> list[np.ndarray]:
-        """Gauss-Newton over left-multiplied se(3) perturbations; returns
-        optimized poses (node 0 fixed) and keeps them in
-        `self.optimized_poses` for correction_for()."""
+        """Gauss-Newton over left-multiplied se(3) perturbations with
+        Huber IRLS edge reweighting; returns optimized poses (node 0
+        fixed) and keeps them in `self.optimized_poses` for
+        correction_for().
+
+        The robust weights matter in practice: accepted loop closures
+        span a ~15x quality range (sub-mm to >1 cm measurement error on
+        the drift-loop eval, tools/prof_posegraph.py), and plain least
+        squares lets the bad tail cancel the good closures' correction.
+        The Huber scale re-derives from the residual median each
+        iteration (MAD-style), so no absolute tuning constant is baked
+        in."""
         n = len(self.poses)
         if n < 2 or not self.edges:
             self.optimized_poses = [p.copy() for p in self.poses]
@@ -72,7 +81,14 @@ class PoseGraph:
             xi_all = xi_all.reshape(n, 6).at[0].set(0.0)
             return jax.vmap(lambda xi, t: exp_se3(xi) @ t)(xi_all, poses)
 
-        def residuals(xi_all, poses):
+        def edge_logs(poses):
+            ti = poses[eidx_i]
+            tj = poses[eidx_j]
+            return jax.vmap(
+                lambda a, b, tmi: log_se3(se3_inverse(a) @ b @ tmi)
+            )(ti, tj, t_meas_inv)  # (E, 6), ≈ 0 when satisfied
+
+        def residuals(xi_all, poses, rw):
             t = apply_xi(xi_all, poses)
             ti = t[eidx_i]
             tj = t[eidx_j]
@@ -81,16 +97,22 @@ class PoseGraph:
                 err = se3_inverse(ti) @ tj @ tmi  # ≈ I when satisfied
                 return w * log_se3(err)
 
-            r = jax.vmap(edge_res)(ti, tj, t_meas_inv, weights)
+            r = jax.vmap(edge_res)(ti, tj, t_meas_inv, weights * rw)
             return r.reshape(-1)
 
         jac_fn = jax.jacfwd(residuals)
 
         @jax.jit
         def gn_step(poses):
+            # Huber IRLS: sqrt-weight = sqrt(min(1, delta/||e||)), scale
+            # delta from the current residual median so inliers keep
+            # weight 1 and the bad tail decays as 1/||e||
+            en = jnp.linalg.norm(edge_logs(poses), axis=1)
+            delta = jnp.maximum(1.5 * jnp.median(en), 1e-5)
+            rw = jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(en, 1e-12)))
             xi0 = jnp.zeros(n * 6, jnp.float32)
-            r = residuals(xi0, poses)
-            jmat = jac_fn(xi0, poses)
+            r = residuals(xi0, poses, rw)
+            jmat = jac_fn(xi0, poses, rw)
             a = jmat.T @ jmat + damping * jnp.eye(n * 6, dtype=jnp.float32)
             b = -(jmat.T @ r)
             xi = jnp.linalg.solve(a, b)
@@ -154,7 +176,8 @@ def _pairwise_icp_jit(depth_a, pose_a, depth_b, pose_b, cam, icp_cfg, pre_cfg):
     nnp = F.build_pyramid(nb, levels, F.downsample_normals)
     mvp = F.build_pyramid(mv, levels, F.downsample_vertices)
     mnp = F.build_pyramid(mn, levels, F.downsample_normals)
-    res = icp_track(nvp, nnp, mvp, mnp, pose_b, cam, icp_cfg)
+    res = icp_track(nvp, nnp, mvp, mnp, pose_b, cam, icp_cfg,
+                    model_pose=pose_a)
     return res.pose, res.ok, res.num_corr, res.residual
 
 
@@ -189,10 +212,17 @@ def build_keyframe_graph(
     loop_radius_m: float = 1.0,
     min_gap: int = 2,
     max_view_angle_rad: float = 1.0,
-    min_corr_frac: float = 0.15,
+    # Fraction of the (subsampled) valid-depth pixel count two keyframes
+    # must match to count as a closure. Measured on the drift-loop eval
+    # (tools/prof_posegraph.py): genuine converged closures carry 3-6%
+    # correspondences (frustum overlap bounds them far below 100%), so
+    # the old 15% gate rejected every true closure; false alignments are
+    # still caught by the residual and odometry-deviation gates below.
+    min_corr_frac: float = 0.04,
     max_residual_m: float = 0.02,
     max_closure_dev_t: float = 0.25,
     max_closure_dev_rad: float = 0.3,
+    stats: dict | None = None,
 ) -> PoseGraph:
     """Odometry chain + ICP loop closures between non-adjacent keyframes.
 
@@ -209,28 +239,58 @@ def build_keyframe_graph(
         g.add_node(kf.pose)
     for k in range(len(kfs) - 1):
         g.add_odometry_edge(k, k + 1, weight=1.0)
-    # num_corr is counted on the ICP-subsampled source grid — scale the
-    # gate to the same grid or closures become impossible at subsample>1
+    # num_corr is counted on the ICP-subsampled source grid. The gate
+    # scales with the VALID-DEPTH pixel count of the candidate pair (on
+    # that grid), not the full image: scenes rarely fill the frame with
+    # valid depth, and a full-grid base makes closures impossible when
+    # (as in the drift-loop eval) only ~30% of pixels carry depth —
+    # frame-to-model tracking itself runs at ~1-3k correspondences there.
     ss = max(icp_cfg.source_subsample, 1)
-    min_corr = int(min_corr_frac * (cam.width // ss) * (cam.height // ss))
+    valid_px = [
+        None if kf.depth_m is None else int((kf.depth_m[::ss, ::ss] > 0).sum())
+        for kf in kfs
+    ]
+    if stats is None:
+        stats = {}
+    for key in ("pairs", "no_depth", "far", "view_angle", "icp_fail",
+                "few_corr", "residual", "odo_dev", "accepted"):
+        stats.setdefault(key, 0)
+    stats["candidates"] = []
     for a in range(len(kfs)):
         for b in range(a + min_gap, len(kfs)):
+            stats["pairs"] += 1
             if kfs[a].depth_m is None or kfs[b].depth_m is None:
+                stats["no_depth"] += 1
                 continue
             if np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3]) > loop_radius_m:
+                stats["far"] += 1
                 continue
             view_cos = float(kfs[a].pose[:3, 2] @ kfs[b].pose[:3, 2])
             if view_cos < np.cos(max_view_angle_rad):
+                stats["view_angle"] += 1
                 continue
             t_ab, ok, n_corr, resid = icp_relative_pose(
                 kfs[a], kfs[b], cam, icp_cfg, preprocess_cfg
             )
-            if not ok or n_corr < min_corr or resid > max_residual_m:
+            min_corr = int(min_corr_frac * min(valid_px[a], valid_px[b]))
+            stats["candidates"].append(
+                dict(a=a, b=b, ok=bool(ok), n_corr=n_corr, min_corr=min_corr,
+                     resid=round(resid, 5)))
+            if not ok:
+                stats["icp_fail"] += 1
+                continue
+            if n_corr < min_corr:
+                stats["few_corr"] += 1
+                continue
+            if resid > max_residual_m:
+                stats["residual"] += 1
                 continue
             t_odo = np.linalg.inv(kfs[a].pose) @ kfs[b].pose
             dev = np.linalg.inv(t_odo) @ t_ab
             if (np.linalg.norm(dev[:3, 3]) > max_closure_dev_t
                     or _rotation_angle(dev) > max_closure_dev_rad):
+                stats["odo_dev"] += 1
                 continue
+            stats["accepted"] += 1
             g.add_edge(a, b, t_ab, weight=2.0)
     return g

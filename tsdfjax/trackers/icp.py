@@ -145,20 +145,26 @@ def icp_track(
     cam: CameraIntrinsics,
     cfg: IcpConfig,
     reduce_fn=None,
+    model_pose: Array | None = None,
 ) -> IcpResult:
     """Multi-level GN: coarse -> fine with the reference's iteration
     table (10/5/4). `reduce_fn` optionally wraps the (7,7) normal-matrix
     reduction (identity on one device; lax.psum over the mesh axis when
     sharded).
 
-    The model maps are WORLD-space maps raycast from `pose` (the previous
-    frame's camera), so last_transform_inv = pose^-1 — exactly the
-    reference's estimateCameraPose setup (CameraPoseFinderICP.cpp:62-63).
+    The model maps are WORLD-space maps organized in the image grid of
+    the camera at `model_pose` (default: `pose` — frame-to-model
+    tracking, where the model was raycast from the previous frame's
+    camera; the reference's estimateCameraPose setup,
+    CameraPoseFinderICP.cpp:62-63). Keyframe-pair alignment passes the
+    other keyframe's pose here: associating through the wrong camera
+    grid collapses the correspondence count as soon as the two poses
+    differ.
     """
     if reduce_fn is None:
         reduce_fn = lambda a: a
 
-    last_transform_inv = se3_inverse(pose)
+    last_transform_inv = se3_inverse(pose if model_pose is None else model_pose)
     iters = cfg.iters_per_level
 
     cur = pose

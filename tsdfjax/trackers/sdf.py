@@ -407,9 +407,11 @@ def sdf_track_sweep(
                 jnp.array(0.0, jnp.float32),
                 jnp.array(0, jnp.int32),
             )
-            prep0 = sdf_sweep_prepare(pose, trunced_depth, cam, vol_cfg, a)
+            prep0 = sdf_sweep_prepare(pose, trunced_depth, cam, vol_cfg, a,
+                                      q_oversample=cfg.q_oversample)
             carry = gn_iter(prep0, init)
-            prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg, a)
+            prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg, a,
+                                      q_oversample=cfg.q_oversample)
             i, cur, ok, _, residual, n_val = jax.lax.while_loop(
                 lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
                 lambda c: gn_iter(prep1, c),
