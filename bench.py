@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -244,6 +245,51 @@ def bench_mesh(n_frames=6):
     return jline("mesh_extract_seconds_256", total, "s", 1.0)
 
 
+def bench_mesh_512(n_frames=6):
+    """512^3 extract-to-file: marching cubes + device weld + normals +
+    OBJ write, the config-4 interactive-save path (target < 4 s total,
+    vs the reference's 's'-key save, MainController.cpp:56-67)."""
+    import tempfile
+
+    import jax
+
+    from tsdfjax.config import AppConfig, SwitchConfig, VolumeConfig
+    from tsdfjax.pipeline import FusionEngine
+    from tsdfjax import mesh as M
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        volume=VolumeConfig(resolution=512, size_m=2.0, max_weight=128.0),
+    )
+    log("mesh512: 512^3 extract -> device weld -> normals -> OBJ file")
+    poses, depths, _ = make_frames(cfg, n_frames)
+    engine = FusionEngine(cfg, mode="file")
+    for k in range(n_frames):
+        engine.step(depths[k], ext_pose=poses[k])
+    # compile both stages outside the timed run
+    bufs = M.marching_cubes(engine.state.volume, cfg.volume, max_triangles=6_500_000)
+    jax.block_until_ready(
+        M.mesh_from_buffers_device(bufs, with_color=False).vertices)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "mesh.obj")
+        t0 = time.perf_counter()
+        bufs = M.marching_cubes(engine.state.volume, cfg.volume,
+                                max_triangles=6_500_000)
+        n_tris = int(bufs.count)  # syncs: device extract fully timed
+        t_dev = time.perf_counter()
+        mesh = M.mesh_from_buffers_device(bufs, with_color=False)
+        t_weld = time.perf_counter()
+        M.compute_vertex_normals(mesh)
+        M.save_mesh(mesh, path)
+        t_file = time.perf_counter()
+        total = t_file - t0
+        log(f"  {n_tris} tris -> {mesh.num_vertices} verts: "
+            f"extract {(t_dev-t0)*1000:.0f} ms, weld+D2H "
+            f"{(t_weld-t_dev)*1000:.0f} ms, normals+obj "
+            f"{(t_file-t_weld)*1000:.0f} ms ({os.path.getsize(path)>>20} MiB)")
+    return jline("mesh_extract_seconds_512", total, "s", 4.0)
+
+
 def bench_stages(n_warm=3, n_meas=15):
     """Per-stage breakdown by ablation (the reference printed per-stage
     ms every frame, HybKinectfu.cpp:111-155): time pipeline prefixes and
@@ -365,7 +411,8 @@ def main() -> None:
 
     lines = []
     for fn in (bench_headline, bench_color, bench_sdf, bench_512,
-               bench_sharded_n1, bench_exact, bench_mesh, bench_stages):
+               bench_sharded_n1, bench_exact, bench_mesh, bench_mesh_512,
+               bench_stages):
         try:
             lines.append(fn())
         except Exception as e:  # keep the suite going; record the failure

@@ -96,6 +96,34 @@ class TestMeshOps:
         # welding must reduce vertex count by ~6x (each vertex shared)
         assert mesh.num_vertices < len(soup) / 3
 
+    def test_device_weld_matches_host_weld(self):
+        vol = sphere_volume()
+        buffers = M.marching_cubes(vol, VCFG, max_triangles=100_000, with_color=True)
+        host = M.mesh_from_buffers(buffers)
+        dev = M.mesh_from_buffers_device(buffers)
+        assert dev.num_vertices == host.num_vertices
+        assert dev.num_faces == host.num_faces
+        # same quantized vertex set (ordering differs: sorted vs first-seen)
+        qh = np.sort(np.round(host.vertices / 1e-4).astype(np.int64).view("i8,i8,i8"), axis=0)
+        qd = np.sort(np.round(dev.vertices / 1e-4).astype(np.int64).view("i8,i8,i8"), axis=0)
+        assert np.array_equal(qh, qd)
+        # same face set when faces are mapped through quantized keys
+        def face_keys(m):
+            q = np.round(m.vertices / 1e-4).astype(np.int64)
+            packed = (q[:, 0] << 42) ^ (q[:, 1] << 21) ^ q[:, 2]
+            fk = np.sort(packed[m.faces], axis=1)
+            return set(map(tuple, fk))
+        assert face_keys(host) == face_keys(dev)
+        # colors ride along with their vertices
+        assert dev.colors is not None and len(dev.colors) == dev.num_vertices
+
+    def test_device_weld_empty(self):
+        vol = sphere_volume()
+        buffers = M.marching_cubes(vol, VCFG, max_triangles=100_000)
+        empty = buffers._replace(count=jnp.zeros((), jnp.int32))
+        mesh = M.mesh_from_buffers_device(empty)
+        assert mesh.num_vertices == 0 and mesh.num_faces == 0
+
     def test_apply_transform(self):
         m = M.Mesh(np.eye(3, dtype=np.float32), np.array([[0, 1, 2]]))
         t = np.eye(4, dtype=np.float32)
