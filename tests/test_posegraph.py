@@ -139,6 +139,31 @@ class TestKeyframeIcpEdges:
         t_ab_true = np.linalg.inv(pa) @ pb
         np.testing.assert_allclose(t_ab[:3, 3], t_ab_true[:3, 3], atol=0.012)
 
+    def test_cumulative_shake_gate_rejects_teleport(self):
+        """A converged alignment whose TOTAL motion exceeds dist_shake_m
+        must be rejected even though every individual GN step was small
+        (observed: 46 cm 'converged' jump on a weight-1 noisy model)."""
+        from tsdfjax.config import DepthPreprocessConfig, IcpConfig
+        from tsdfjax.geometry import CameraIntrinsics
+        from tsdfjax.keyframes import Keyframe
+
+        cam = CameraIntrinsics(160, 120, 150.0, 150.0, 79.5, 59.5)
+        scene = syn.default_scene(2.0)
+        c = 1.0
+        pa = syn.look_at(np.array([c, c, -0.3]), np.array([c, c, c]))
+        pb = syn.look_at(np.array([c + 0.45, c + 0.15, -0.25]), np.array([c, c, c]))
+        da = np.asarray(syn.render_depth(jnp.asarray(pa), cam, scene))
+        db = np.asarray(syn.render_depth(jnp.asarray(pb), cam, scene))
+        kfa = Keyframe(0, 0.0, pa, da, None)
+        # init B at A's pose: a correct alignment must travel ~0.5 m,
+        # beyond the 0.4 m per-frame shake budget -> tracker reports fail
+        kfb = Keyframe(1, 1.0, pa.copy(), db, None)
+        _t_ab, ok, _n, _r = icp_relative_pose(
+            kfa, kfb, cam, IcpConfig(pyramid_levels=2),
+            DepthPreprocessConfig(sigma_pixel=1.0),
+        )
+        assert not ok
+
 
 class TestTexturing:
     def test_textured_obj_mtl_written(self, tmp_path):

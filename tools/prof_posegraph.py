@@ -33,11 +33,15 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--loop-radius", type=float, default=1.0)
-    ap.add_argument("--min-corr-frac", type=float, default=0.15)
+    ap.add_argument("--min-corr-frac", type=float, default=None,
+                    help="override; default = library default")
     ap.add_argument("--max-residual", type=float, default=0.02)
-    ap.add_argument("--max-dev-t", type=float, default=0.25)
+    ap.add_argument("--max-dev-t", type=float, default=None)
     ap.add_argument("--min-gap", type=int, default=2)
     ap.add_argument("--subsample", type=int, default=2)
+    ap.add_argument("--dump-graph", default=None,
+                    help="pickle the measured graph + context for offline "
+                         "optimizer experiments (skips re-running pairwise ICP)")
     args = ap.parse_args()
 
     from tsdfjax.config import AppConfig, IcpConfig
@@ -74,14 +78,18 @@ def main() -> int:
     print(f"{len(kfs)} keyframes from {len(est_by_idx)} frames", file=sys.stderr)
 
     stats: dict = {}
+    kw = {}
+    if args.min_corr_frac is not None:
+        kw["min_corr_frac"] = args.min_corr_frac
+    if args.max_dev_t is not None:
+        kw["max_closure_dev_t"] = args.max_dev_t
     g = build_keyframe_graph(
         kfs, cam, icp_cfg, pre,
         loop_radius_m=args.loop_radius,
-        min_corr_frac=args.min_corr_frac,
         max_residual_m=args.max_residual,
-        max_closure_dev_t=args.max_dev_t,
         min_gap=args.min_gap,
         stats=stats,
+        **kw,
     )
     cands = stats.pop("candidates")
     print("gate stats:", json.dumps(stats), file=sys.stderr)
@@ -109,6 +117,19 @@ def main() -> int:
         e_odo = np.linalg.norm(t_odo[:3, 3] - t_gt[:3, 3])
         print(f"  closure ({a:2d},{b:2d}) meas_err {e_meas*1000:6.2f} mm  "
               f"odo_err {e_odo*1000:6.2f} mm", file=sys.stderr)
+
+    if args.dump_graph:
+        import pickle
+
+        with open(args.dump_graph, "wb") as f:
+            pickle.dump(dict(
+                poses=g.poses, edges=g.edges,
+                snaps={k: (t, p) for k, (t, p) in snaps.items()},
+                kf_ids=[kf.frame_id for kf in kfs],
+                kf_ts=[kf.timestamp for kf in kfs],
+                est=est_by_idx, seq=args.seq,
+            ), f)
+        print(f"graph dumped to {args.dump_graph}", file=sys.stderr)
 
     opt = g.optimize()
     for k in range(len(kfs)):

@@ -343,7 +343,7 @@ def main() -> int:
     if 6 in configs:
         seq, source = ensure_sequence(
             args.data_root, "drift_loop", "loop", max(args.frames, 300),
-            max(args.noise, 0.008), width=320, height=240,
+            max(args.noise, 0.01), width=320, height=240, dropout=0.1,
         )
         gt = os.path.join(seq, "groundtruth.txt")
         ini = write_ini(os.path.join(args.workdir, "cfg6.ini"), 256, "icp",
@@ -369,9 +369,24 @@ def main() -> int:
             "ate_odometry_cm": round(ates["odometry"] * 100, 4),
             "improvement_pct": round(impr * 100, 1),
         }
+        # keyframe-level A/B on the odometry run (the drift component the
+        # graph can actually fix; full-trajectory ATE is dominated by
+        # per-frame tracking noise): tools/prof_posegraph.py replay.
+        import subprocess
+
+        rp = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "prof_posegraph.py"),
+             seq, os.path.join(args.workdir, "traj_cfg6_odometry.txt")],
+            capture_output=True, text=True, timeout=1200,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        if rp.returncode == 0 and rp.stdout.strip():
+            results["posegraph_keyframe_ab"] = json.loads(
+                rp.stdout.strip().splitlines()[-1])
         print(f"[baseline] config 6 drift A/B: posegraph "
               f"{ates['posegraph']*100:.3f} cm vs odometry "
-              f"{ates['odometry']*100:.3f} cm ({impr*100:+.1f}%)",
+              f"{ates['odometry']*100:.3f} cm ({impr*100:+.1f}%); "
+              f"keyframe A/B {results.get('posegraph_keyframe_ab')}",
               file=sys.stderr)
 
     # ------- config 7: noise / dropout robustness sweep ----------------

@@ -214,14 +214,23 @@ def build_keyframe_graph(
     max_view_angle_rad: float = 1.0,
     # Fraction of the (subsampled) valid-depth pixel count two keyframes
     # must match to count as a closure. Measured on the drift-loop eval
-    # (tools/prof_posegraph.py): genuine converged closures carry 3-6%
+    # (tools/prof_posegraph.py): genuine converged closures carry 2-6%
     # correspondences (frustum overlap bounds them far below 100%), so
-    # the old 15% gate rejected every true closure; false alignments are
-    # still caught by the residual and odometry-deviation gates below.
-    min_corr_frac: float = 0.04,
+    # the old 15% gate rejected every true closure — including every
+    # anchor edge to keyframe 0, without which optimization can only
+    # redistribute error, not remove it. False alignments are still
+    # caught by the residual and odometry-deviation gates below.
+    min_corr_frac: float = 0.02,
     max_residual_m: float = 0.02,
-    max_closure_dev_t: float = 0.25,
-    max_closure_dev_rad: float = 0.3,
+    # Odometry-deviation outlier gate, scaled with the keyframe GAP: the
+    # plausible accumulated drift grows with time between the keyframes,
+    # and an absolute bound rejects exactly the long-gap closures that
+    # carry the most information (a 30 cm early-tracking seam looks like
+    # an "outlier" to a 0.25 m flat gate).
+    max_closure_dev_t: float = 0.06,
+    max_closure_dev_rad: float = 0.08,
+    closure_dev_t_per_gap: float = 0.02,
+    closure_dev_rad_per_gap: float = 0.012,
     stats: dict | None = None,
 ) -> PoseGraph:
     """Odometry chain + ICP loop closures between non-adjacent keyframes.
@@ -287,8 +296,11 @@ def build_keyframe_graph(
                 continue
             t_odo = np.linalg.inv(kfs[a].pose) @ kfs[b].pose
             dev = np.linalg.inv(t_odo) @ t_ab
-            if (np.linalg.norm(dev[:3, 3]) > max_closure_dev_t
-                    or _rotation_angle(dev) > max_closure_dev_rad):
+            gap = b - a
+            if (np.linalg.norm(dev[:3, 3])
+                    > max_closure_dev_t + closure_dev_t_per_gap * gap
+                    or _rotation_angle(dev)
+                    > max_closure_dev_rad + closure_dev_rad_per_gap * gap):
                 stats["odo_dev"] += 1
                 continue
             stats["accepted"] += 1

@@ -32,6 +32,7 @@ from tsdfjax.config import IcpConfig
 from tsdfjax.geometry import (
     CameraIntrinsics,
     delta_pose_from_6dof,
+    rotation_angle,
     se3_inverse,
     transform_points,
     rotate_vectors,
@@ -207,4 +208,15 @@ def icp_track(
         )
         _, cur, ok, residual, num_corr, _ = carry
 
+    # Cumulative per-FRAME shake gate: the reference only checks each GN
+    # step's delta (CameraPoseFinderICP.cpp:104-107), which many small
+    # steps evade — observed as a 46 cm "converged" jump at frame 1 on a
+    # weight-1 noisy model (128^3 drift eval). A camera at 30 fps cannot
+    # teleport; reject the frame when the TOTAL motion exceeds the same
+    # shake thresholds.
+    ok = (
+        ok
+        & (rotation_angle(cur[:3, :3] @ pose[:3, :3].T) <= cfg.angle_shake_rad)
+        & (jnp.linalg.norm(cur[:3, 3] - pose[:3, 3]) <= cfg.dist_shake_m)
+    )
     return IcpResult(pose=cur, ok=ok, residual=residual, num_corr=num_corr)

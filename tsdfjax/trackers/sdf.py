@@ -32,12 +32,24 @@ from tsdfjax.geometry import (
     CameraIntrinsics,
     delta_pose_from_6dof,
     exp_se3,
+    rotation_angle,
     se3_from_rt,
     transform_points,
 )
+
+
 from tsdfjax.volume import TsdfVolume, sample_tsdf_trilinear
 
 Array = jnp.ndarray
+
+
+def _frame_shake_ok(cur, pose, cfg) -> Array:
+    """Cumulative per-frame shake gate (see icp.icp_track): the per-step
+    check alone lets many small GN steps add up to a teleport."""
+    return (
+        (rotation_angle(cur[:3, :3] @ pose[:3, :3].T) <= cfg.angle_shake_rad)
+        & (jnp.linalg.norm(cur[:3, 3] - pose[:3, 3]) <= cfg.dist_shake_m)
+    )
 
 
 class SdfResult(NamedTuple):
@@ -189,6 +201,7 @@ def sdf_track(
         jnp.array(0, jnp.int32),
     )
     cur, ok, _, residual, n_val = jax.lax.fori_loop(0, cfg.max_iters, body, init)
+    ok = ok & _frame_shake_ok(cur, pose, cfg)
     return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
 
 
@@ -417,6 +430,7 @@ def sdf_track_sweep(
                 lambda c: gn_iter(prep1, c),
                 carry,
             )
+            ok = ok & _frame_shake_ok(cur, pose, cfg)
             return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
 
         return run
@@ -492,4 +506,5 @@ def sdf_track_fast(
     _, cur, ok, _, residual, n_val = jax.lax.while_loop(
         lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2], body, init
     )
+    ok = ok & _frame_shake_ok(cur, pose, cfg)
     return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
