@@ -7,7 +7,11 @@ and a composed 4x4 pose chain — the two geometric shapes that destroyed
 on-chip tracking when the MXU ran them at bf16 precision.
 """
 
+import os
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
