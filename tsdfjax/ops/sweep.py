@@ -155,6 +155,18 @@ def pick_sweep_axis(pose: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 
+# Nearest-selection tie-break epsilon (index units). Degenerate geometry
+# (axis-aligned canonical pose + the regular pixel grid) lands MANY
+# positions exactly on .5 selection boundaries; CPU and TPU compute the
+# affine positions with different FMA contraction, so 1-ulp differences
+# flip the ties differently per backend (measured: 2.7%% of integrate
+# voxels picking the neighboring depth pixel -> a stable 3.1 mm hit
+# shift on chip). Shifting the boundary off the representable tie makes
+# selection deterministic across backends; 1e-4 px is far below any
+# geometric signal.
+_TIE_EPS = 1e-4
+
+
 def _interp_matrix(positions: Array, n_src: int, mode: str) -> Array:
     """(n_out, n_src) matrix M with M[o, s] = weight of source sample s for
     output position positions[o] (in source-index units).
@@ -167,7 +179,7 @@ def _interp_matrix(positions: Array, n_src: int, mode: str) -> Array:
     src = jax.lax.broadcasted_iota(jnp.float32, (positions.shape[0], n_src), 1)
     d = src - positions[:, None]
     if mode == "nearest":
-        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+        return ((d >= -0.5 + _TIE_EPS) & (d < 0.5 + _TIE_EPS)).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
@@ -198,7 +210,7 @@ def _interp_matrix_b(positions: Array, n_src: int, mode: str) -> Array:
     src = jax.lax.broadcasted_iota(jnp.float32, (b, n_out, n_src), 2)
     d = src - positions[..., None]
     if mode == "nearest":
-        return ((d >= -0.5) & (d < 0.5)).astype(jnp.float32)
+        return ((d >= -0.5 + _TIE_EPS) & (d < 0.5 + _TIE_EPS)).astype(jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
@@ -262,8 +274,8 @@ def _warp_image_to_q(
     zsafe = jnp.where(jnp.abs(z) < 1e-20, 1e-20, z)
     u = p[0] / zsafe
     v = p[1] / zsafe
-    ui = jnp.floor(u + 0.5).astype(jnp.int32)
-    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+    ui = jnp.floor(u + 0.5 + _TIE_EPS).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5 + _TIE_EPS).astype(jnp.int32)
     # reference integrate rejects the outermost pixel ring (cu:43)
     in_img = (ui >= 1) & (ui < w - 1) & (vi >= 1) & (vi < h - 1)
     flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
@@ -430,7 +442,17 @@ def _integrate_axis(
     # No separate validity channel: depth 0 marks invalid pixels and the
     # nearest-selection matrices produce exact 0 for out-of-range voxels,
     # so d_vol != 0 is the complete validity test.
-    d_hi = depth.astype(jnp.bfloat16).astype(jnp.float32)
+    # bf16-representable high half via mantissa masking, NOT
+    # f32->bf16->f32 casts: XLA:TPU's excess-precision simplification
+    # elides the cast round-trip, which silently zeroed d_lo on chip and
+    # degraded the projected depth to plain bf16 (one-ULP error on ~half
+    # the voxels -> a stable ~3 mm tracking bias; tools/prof_op_diff.py).
+    # Truncation (vs round-to-nearest) is equally valid for the split:
+    # d_hi is exactly bf16-representable and |d_lo| < one bf16 ULP.
+    d_hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(depth, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
     d_lo = depth - d_hi
     chans = [d_hi, d_lo]
     if rgb is not None:
@@ -1012,8 +1034,8 @@ def _raycast_axis(
     wz_safe = jnp.where(jnp.abs(wz) < 1e-20, 1e-20, wz)
     pq1 = phom[..., 0] / wz_safe
     pq2 = phom[..., 1] / wz_safe
-    gi = jnp.floor((pq1 - q1_0) * q1_s + 0.5).astype(jnp.int32)
-    gj = jnp.floor((pq2 - q2_0) * q2_s + 0.5).astype(jnp.int32)
+    gi = jnp.floor((pq1 - q1_0) * q1_s + 0.5 + _TIE_EPS).astype(jnp.int32)
+    gj = jnp.floor((pq2 - q2_0) * q2_s + 0.5 + _TIE_EPS).astype(jnp.int32)
     in_grid = (gi >= 0) & (gi < qh) & (gj >= 0) & (gj < qw)
     flat = jnp.clip(gi, 0, qh - 1) * qw + jnp.clip(gj, 0, qw - 1)
 
@@ -1133,8 +1155,8 @@ def sdf_sweep_prepare(
     phom = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1) @ geom.w_inv.T
     wz = phom[..., 2]
     wz_safe = jnp.where(jnp.abs(wz) < 1e-20, 1e-20, wz)
-    gi = jnp.floor((phom[..., 0] / wz_safe - q1_0) * q1_s + 0.5).astype(jnp.int32)
-    gj = jnp.floor((phom[..., 1] / wz_safe - q2_0) * q2_s + 0.5).astype(jnp.int32)
+    gi = jnp.floor((phom[..., 0] / wz_safe - q1_0) * q1_s + 0.5 + _TIE_EPS).astype(jnp.int32)
+    gj = jnp.floor((phom[..., 1] / wz_safe - q2_0) * q2_s + 0.5 + _TIE_EPS).astype(jnp.int32)
     in_grid = (gi >= 0) & (gi < qh) & (gj >= 0) & (gj < qw)
     flat = jnp.where(in_grid, gi * qw + gj, 0)
     contrib = jnp.where(in_grid & (depth > 0), 1.0, 0.0)
