@@ -38,6 +38,10 @@ def main() -> int:
     ap.add_argument("--exact", action="store_true",
                     help="fast_ops=False: reference-semantics gather ops "
                          "instead of the bf16 sweep ops")
+    ap.add_argument("--sdf-rebuild", action="store_true",
+                    help="SDF sweep: rebuild pixel<->q association every iter")
+    ap.add_argument("--sdf-stride1", action="store_true",
+                    help="SDF sweep: force slice stride 1")
     args = ap.parse_args()
 
     from tsdfjax.config import (AppConfig, IcpConfig, SdfTrackerConfig,
@@ -53,10 +57,17 @@ def main() -> int:
         switches=SwitchConfig(use_color=False,
                               use_sdf_tracker=args.tracker == "sdf"),
         icp=icp,
-        sdf_tracker=SdfTrackerConfig(source_subsample=2),
+        sdf_tracker=SdfTrackerConfig(
+            source_subsample=2,
+            rebuild_assoc_every_iter=args.sdf_rebuild,
+        ),
         volume=VolumeConfig(resolution=args.res, size_m=2.0),
         fast_ops=not args.exact,
     )
+    if args.sdf_stride1:
+        from tsdfjax.ops import sweep as _S
+
+        _S._raycast_stride = lambda *a, **k: 1
     src = SyntheticSource(cfg, args.frames)
     gt_poses = src.poses()
     engine = FusionEngine(cfg, mode=args.tracker)

@@ -141,6 +141,10 @@ class SdfTrackerConfig:
     # Cost is ~2x the per-iteration normal-equation sweep, well inside
     # the tracker's fps headroom.
     q_oversample: float = 1.6
+    # Rebuild the pixel<->q association at every GN iteration instead of
+    # once after the first step. Costs one extra prepare per iteration;
+    # removes association staleness for fast inter-frame motion.
+    rebuild_assoc_every_iter: bool = False
 
 
 @dataclass(frozen=True)

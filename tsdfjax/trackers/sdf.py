@@ -423,13 +423,24 @@ def sdf_track_sweep(
             prep0 = sdf_sweep_prepare(pose, trunced_depth, cam, vol_cfg, a,
                                       q_oversample=cfg.q_oversample)
             carry = gn_iter(prep0, init)
-            prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg, a,
-                                      q_oversample=cfg.q_oversample)
-            i, cur, ok, _, residual, n_val = jax.lax.while_loop(
-                lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
-                lambda c: gn_iter(prep1, c),
-                carry,
-            )
+            if cfg.rebuild_assoc_every_iter:
+                def iter_fresh(c):
+                    prep = sdf_sweep_prepare(c[1], trunced_depth, cam, vol_cfg,
+                                             a, q_oversample=cfg.q_oversample)
+                    return gn_iter(prep, c)
+
+                i, cur, ok, _, residual, n_val = jax.lax.while_loop(
+                    lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
+                    iter_fresh, carry,
+                )
+            else:
+                prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg,
+                                          a, q_oversample=cfg.q_oversample)
+                i, cur, ok, _, residual, n_val = jax.lax.while_loop(
+                    lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
+                    lambda c: gn_iter(prep1, c),
+                    carry,
+                )
             ok = ok & _frame_shake_ok(cur, pose, cfg)
             return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
 
