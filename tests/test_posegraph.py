@@ -139,10 +139,14 @@ class TestKeyframeIcpEdges:
         t_ab_true = np.linalg.inv(pa) @ pb
         np.testing.assert_allclose(t_ab[:3, 3], t_ab_true[:3, 3], atol=0.012)
 
-    def test_cumulative_shake_gate_rejects_teleport(self):
-        """A converged alignment whose TOTAL motion exceeds dist_shake_m
-        must be rejected even though every individual GN step was small
-        (observed: 46 cm 'converged' jump on a weight-1 noisy model)."""
+    def test_closure_icp_recovers_large_offset(self):
+        """Pairwise closure ICP RELAXES the per-frame shake gate (advisor
+        r3): keyframes seconds apart can legitimately be far from the
+        odometry guess, and long-gap closures with large genuine drift
+        are exactly the edges the graph needs. A ~0.5 m initialization
+        error (beyond the 0.4 m tracking shake budget) must converge to
+        the true relative pose; outlier rejection is the graph's
+        odometry-deviation gate's job."""
         from tsdfjax.config import DepthPreprocessConfig, IcpConfig
         from tsdfjax.geometry import CameraIntrinsics
         from tsdfjax.keyframes import Keyframe
@@ -155,14 +159,55 @@ class TestKeyframeIcpEdges:
         da = np.asarray(syn.render_depth(jnp.asarray(pa), cam, scene))
         db = np.asarray(syn.render_depth(jnp.asarray(pb), cam, scene))
         kfa = Keyframe(0, 0.0, pa, da, None)
-        # init B at A's pose: a correct alignment must travel ~0.5 m,
-        # beyond the 0.4 m per-frame shake budget -> tracker reports fail
+        # init B at A's pose: the correct alignment travels ~0.5 m
         kfb = Keyframe(1, 1.0, pa.copy(), db, None)
-        _t_ab, ok, _n, _r = icp_relative_pose(
+        t_ab, ok, _n, _r = icp_relative_pose(
             kfa, kfb, cam, IcpConfig(pyramid_levels=2),
             DepthPreprocessConfig(sigma_pixel=1.0),
         )
-        assert not ok
+        assert ok
+        t_ab_true = np.linalg.inv(pa) @ pb
+        np.testing.assert_allclose(t_ab[:3, 3], t_ab_true[:3, 3], atol=0.03)
+
+    def test_cumulative_shake_gate_guards_tracking(self):
+        """Frame-to-model TRACKING keeps the cumulative shake gate: a
+        converged alignment whose total motion exceeds dist_shake_m is
+        rejected even though every individual GN step was small
+        (observed: 46 cm 'converged' jump on a weight-1 noisy model). A
+        camera at 30 fps cannot teleport — but keyframe pairs can (see
+        test above)."""
+        from tsdfjax import frames as F
+        from tsdfjax.config import IcpConfig
+        from tsdfjax.geometry import CameraIntrinsics, transform_points, rotate_vectors
+        from tsdfjax.trackers.icp import icp_track
+
+        cam = CameraIntrinsics(160, 120, 150.0, 150.0, 79.5, 59.5)
+        scene = syn.default_scene(2.0)
+        c = 1.0
+        pa = syn.look_at(np.array([c, c, -0.3]), np.array([c, c, c]))
+        pb = syn.look_at(np.array([c + 0.45, c + 0.15, -0.25]), np.array([c, c, c]))
+        da = np.asarray(syn.render_depth(jnp.asarray(pa), cam, scene))
+        db = np.asarray(syn.render_depth(jnp.asarray(pb), cam, scene))
+
+        def maps_of(d):
+            v = F.depth_to_vertices(jnp.asarray(d), cam)
+            return v, F.vertices_to_normals(v)
+
+        va, na = maps_of(da)
+        vb, nb = maps_of(db)
+        mv = transform_points(jnp.asarray(pa), va)
+        mv = jnp.where(jnp.any(va != 0, axis=-1, keepdims=True), mv, 0.0)
+        mn = rotate_vectors(jnp.asarray(pa), na)
+        icp_cfg = IcpConfig(pyramid_levels=2)
+        levels = icp_cfg.pyramid_levels
+        res = icp_track(
+            F.build_pyramid(vb, levels, F.downsample_vertices),
+            F.build_pyramid(nb, levels, F.downsample_normals),
+            F.build_pyramid(mv, levels, F.downsample_vertices),
+            F.build_pyramid(mn, levels, F.downsample_normals),
+            jnp.asarray(pa), cam, icp_cfg, model_pose=jnp.asarray(pa),
+        )
+        assert not bool(res.ok)
 
 
 class TestTexturing:

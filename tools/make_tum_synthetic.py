@@ -102,6 +102,7 @@ def write_sequence(
     seed: int = 0,
     fps: float = 30.0,
     t0: float = 1305031100.0,
+    scene: str = "default",
 ) -> str:
     import jax
     import jax.numpy as jnp
@@ -114,7 +115,8 @@ def write_sequence(
         width=width, height=height, fx=525.0 * width / 640,
         fy=525.0 * height / 480, cx=(width - 1) / 2.0, cy=(height - 1) / 2.0,
     )
-    scene = syn.default_scene(volume_size)
+    scene = (syn.cluttered_scene(volume_size) if scene == "cluttered"
+             else syn.default_scene(volume_size))
     poses = trajectory(kind, n_frames, volume_size, min_trunc)
     rng = np.random.default_rng(seed)
 
@@ -195,11 +197,15 @@ def main() -> int:
     ap.add_argument("--dropout", type=float, default=0.0,
                     help="probability of zeroing each 8x8 depth block")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scene", choices=["default", "cluttered"],
+                    default="default",
+                    help="'cluttered' = rotated boxes + spheres at mixed "
+                         "depths (non-axis-aligned; VERDICT r3 item 5)")
     args = ap.parse_args()
     write_sequence(
         args.out_dir, kind=args.kind, n_frames=args.frames,
         width=args.width, height=args.height, noise=args.noise,
-        dropout=args.dropout, seed=args.seed,
+        dropout=args.dropout, seed=args.seed, scene=args.scene,
     )
     print(args.out_dir, file=sys.stderr)
     return 0

@@ -374,15 +374,25 @@ def main() -> int:
         # per-frame tracking noise): tools/prof_posegraph.py replay.
         import subprocess
 
-        rp = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "prof_posegraph.py"),
-             seq, os.path.join(args.workdir, "traj_cfg6_odometry.txt")],
-            capture_output=True, text=True, timeout=1200,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
-        )
-        if rp.returncode == 0 and rp.stdout.strip():
-            results["posegraph_keyframe_ab"] = json.loads(
-                rp.stdout.strip().splitlines()[-1])
+        try:
+            rp = subprocess.run(
+                [sys.executable,
+                 os.path.join(REPO, "tools", "prof_posegraph.py"),
+                 seq, os.path.join(args.workdir, "traj_cfg6_odometry.txt")],
+                capture_output=True, text=True, timeout=1200,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+            if rp.returncode == 0 and rp.stdout.strip():
+                results["posegraph_keyframe_ab"] = json.loads(
+                    rp.stdout.strip().splitlines()[-1])
+            else:
+                results["posegraph_keyframe_ab"] = {
+                    "error": f"rc={rp.returncode}",
+                    "stderr_tail": rp.stderr[-500:],
+                }
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as e:
+            # don't abort the suite after the expensive app runs completed
+            results["posegraph_keyframe_ab"] = {"error": repr(e)}
         print(f"[baseline] config 6 drift A/B: posegraph "
               f"{ates['posegraph']*100:.3f} cm vs odometry "
               f"{ates['odometry']*100:.3f} cm ({impr*100:+.1f}%); "

@@ -18,7 +18,12 @@ import jax as _jax
 # f32 matmuls cost nothing here — geometric matmuls are (N,3)@(3,3) or
 # 4x4 — and the hot volumetric sweep matmuls pass explicit bf16 inputs
 # (ops/sweep.py), which this default does not affect.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# Only set when the embedding application has not chosen its own default
+# (documented in README "Embedding"): tsdfjax's accuracy numbers assume
+# 'highest'; a host app that configures matmul precision itself keeps
+# its setting and owns the tradeoff.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from tsdfjax.config import (
     AppConfig,

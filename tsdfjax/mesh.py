@@ -427,7 +427,13 @@ def _weld_device_impl(vertices, colors, count, merge_eps, with_color):
     qy = jnp.where(valid, q[:, 1], sentinel)
     qz = jnp.where(valid, q[:, 2], sentinel)
     idx = jnp.arange(n_corners, dtype=jnp.int32)
-    sz, sy, sx, order = jax.lax.sort((qz, qy, qx, idx), num_keys=3)
+    # idx participates as the 4th sort key so equal-cell runs are ordered
+    # by original corner index; the representative vertex of each cell is
+    # then the FIRST original occurrence (scatter-min below), matching the
+    # host weld's np.unique(return_index) / native first-seen semantics —
+    # deterministic across backends, unlike a last-write-wins scatter
+    # over an unstable 3-key sort.
+    sz, sy, sx, order = jax.lax.sort((qz, qy, qx, idx), num_keys=4)
     head = jnp.concatenate([
         jnp.ones((1,), bool),
         (sz[1:] != sz[:-1]) | (sy[1:] != sy[:-1]) | (sx[1:] != sx[:-1]),
@@ -435,12 +441,13 @@ def _weld_device_impl(vertices, colors, count, merge_eps, with_color):
     uid = jnp.cumsum(head.astype(jnp.int32)) - 1
     n_unique = jnp.sum((head & (sz != sentinel)).astype(jnp.int32))
     inverse = jnp.zeros((n_corners,), jnp.int32).at[order].set(uid)
-    out_v = jnp.zeros((n_corners, 3), v.dtype).at[uid].set(v[order])
+    rep = jnp.full((n_corners,), n_corners - 1, jnp.int32).at[uid].min(order)
+    out_v = v[rep]
     faces = inverse.reshape(-1, 3)
     out_c = None
     if with_color:
         c = colors.reshape(n_corners, 3)
-        out_c = jnp.zeros((n_corners, 3), c.dtype).at[uid].set(c[order])
+        out_c = c[rep]
     return out_v, out_c, faces, n_unique
 
 

@@ -131,7 +131,8 @@ class ShardedFusion:
         self._vol_sharding = NamedSharding(self.mesh, P("space"))
         self._rep = NamedSharding(self.mesh, P())
         self.state = self._shard_state(init_state(cfg))
-        self._step = self._build_step()
+        self._step = self._build_step(self.mode)
+        self._file_step = None  # lazily built for reintegrate()
 
     def _shard_state(self, state: FusionState) -> FusionState:
         vol = V.TsdfVolume(
@@ -154,9 +155,8 @@ class ShardedFusion:
     # sharded step construction
     # ------------------------------------------------------------------
 
-    def _build_step(self):
+    def _build_step(self, mode):
         cfg = self.cfg
-        mode = self.mode
         with_color = self.with_color
         halo = self.halo
         res = cfg.volume.resolution
@@ -377,6 +377,42 @@ class ShardedFusion:
             jnp.asarray(rgb, jnp.float32), jnp.asarray(ext_pose, jnp.float32),
         )
         return diag
+
+    def reintegrate(self, keyframes, live_pose=None) -> int:
+        """Sharded counterpart of FusionEngine.reintegrate: rebuild the
+        volume slabs from stored keyframe depths at their (optimized)
+        poses via a lazily-built 'file'-mode sharded step (map-pose
+        consistency after a loop-closure correction)."""
+        kfs = [kf for kf in keyframes if kf.depth_m is not None]
+        if not kfs:
+            return 0
+        if self._file_step is None:
+            self._file_step = self._build_step("file")
+        old = self.state
+        state = self._shard_state(init_state(self.cfg))
+        cam = self.cfg.depth_camera
+        dummy_rgb = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+        for kf in kfs:
+            rgb = (
+                jnp.asarray(kf.rgb, jnp.float32)
+                if (kf.rgb is not None and self.with_color) else dummy_rgb
+            )
+            state, _diag = self._file_step(
+                state, jnp.asarray(kf.depth_m, jnp.float32), rgb,
+                jnp.asarray(kf.pose, jnp.float32),
+            )
+        self.state = state._replace(
+            frame_id=old.frame_id,
+            lost_count=old.lost_count,
+            pose=jax.device_put(
+                jnp.asarray(
+                    kfs[-1].pose if live_pose is None else live_pose,
+                    jnp.float32,
+                ),
+                self._rep,
+            ),
+        )
+        return len(kfs)
 
     def extract_mesh(self, max_triangles: int = 1_500_000,
                      with_color: bool | None = None,

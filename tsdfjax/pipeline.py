@@ -237,3 +237,45 @@ class FusionEngine:
             jnp.asarray(depth_m, jnp.float32), rgb, ext_pose,
         )
         return diag
+
+    def reintegrate(self, keyframes, live_pose=None) -> int:
+        """Rebuild the volume from stored keyframe depths at their
+        (optimized) poses — map-pose consistency after a loop-closure
+        correction. Yanking only the live pose desynchronizes it from
+        the map fused under the DRIFTED poses, which measurably
+        destabilizes tracking (VERDICT r3: every live-correction A/B was
+        negative); re-fusing the kept keyframe depths (keyframes.py
+        stores them; the reference's KeyframeMan keeps the same data,
+        keyframeMan.h:36-70) under the optimized trajectory gives
+        tracking a consistent map to continue against.
+
+        Runs the normal 'file'-mode step per keyframe, so the final
+        raycast leaves model maps rendered from the LAST keyframe's
+        pose — correction events fire on keyframe frames, so that pose
+        IS the corrected live pose. Returns the number of re-fused
+        keyframes. `live_pose` overrides the pose the state keeps
+        afterwards (defaults to the last keyframe's pose).
+        """
+        kfs = [kf for kf in keyframes if kf.depth_m is not None]
+        if not kfs:
+            return 0
+        old = self.state
+        state = init_state(self.cfg, pose=np.asarray(kfs[0].pose))
+        for kf in kfs:
+            rgb = (
+                jnp.asarray(kf.rgb, jnp.float32)
+                if (kf.rgb is not None and self.with_color) else self._dummy_rgb
+            )
+            state, _diag = process_frame(
+                self.cfg, "file", self.with_color, state,
+                jnp.asarray(kf.depth_m, jnp.float32), rgb,
+                jnp.asarray(kf.pose, jnp.float32),
+            )
+        self.state = state._replace(
+            frame_id=old.frame_id,
+            lost_count=old.lost_count,
+            pose=jnp.asarray(
+                kfs[-1].pose if live_pose is None else live_pose, jnp.float32
+            ),
+        )
+        return len(kfs)

