@@ -202,6 +202,19 @@ class TestShardedFastMatchesDenseFast:
         mc_s = np.asarray(shard.state.model_color)
         np.testing.assert_allclose(mc_s, mc_d, atol=1.0)
 
+    def test_sdf_sweep_mode_poses_match(self, mesh8):
+        """Sharded gather-free sweep SDF tracker (sdf_track_sweep_sharded,
+        k-band decomposition + psum'd normal equations) vs the dense
+        sweep tracker — the sharded engine previously silently fell back
+        to the exact gather SDF kernel under fast_ops (VERDICT r3 #7)."""
+        cfg = par_config(fast_ops=True)
+        dense, shard, dd, sd = run_both(cfg, "sdf", mesh8, n_frames=4)
+        for k, (d, s) in enumerate(zip(dd, sd)):
+            assert bool(d.tracking_ok) and bool(s.tracking_ok), f"frame {k}"
+            pd, ps = np.asarray(d.pose), np.asarray(s.pose)
+            np.testing.assert_allclose(ps[:3, 3], pd[:3, 3], atol=2e-3)
+            np.testing.assert_allclose(ps[:3, :3], pd[:3, :3], atol=2e-3)
+
 
 class TestShardedMeshExtraction:
     """Distributed marching cubes (SURVEY §7 step 8): per-shard extraction

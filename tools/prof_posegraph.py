@@ -45,7 +45,7 @@ def main() -> int:
     args = ap.parse_args()
 
     from tsdfjax.config import AppConfig, IcpConfig
-    from tsdfjax.geometry import CameraIntrinsics, exp_se3, log_se3
+    from tsdfjax.geometry import CameraIntrinsics
     from tsdfjax.io import tum
     from tsdfjax.keyframes import Keyframe
     from tsdfjax.posegraph import build_keyframe_graph
@@ -138,23 +138,13 @@ def main() -> int:
         print(f"  kf {k:2d} corr |t| {np.linalg.norm(corr[:3,3])*1000:6.2f} mm",
               file=sys.stderr)
 
-    # bend the trajectory exactly like app.py's final pass
-    kts, xis = [], []
-    for k, kf in enumerate(kfs):
-        ts, snap_pose = snaps[kf.frame_id]
-        corr = np.asarray(opt[k], np.float64) @ np.linalg.inv(
-            np.asarray(snap_pose, np.float64))
-        kts.append(ts)
-        xis.append(np.asarray(log_se3(jnp.asarray(corr, jnp.float32)), np.float64))
-    kts_a = np.asarray(kts)
-    xis_a = np.stack(xis)
-    ts_a = np.asarray([t for t, _ in est_by_idx])
-    xi_frames = np.stack(
-        [np.interp(ts_a, kts_a, xis_a[:, i]) for i in range(6)], axis=1)
-    corrs = np.asarray(jax.vmap(exp_se3)(jnp.asarray(xi_frames, jnp.float32))
-                       ).astype(np.float64)
-    bent = [(t, (corrs[i] @ np.asarray(p, np.float64)).astype(np.float32))
-            for i, (t, p) in enumerate(est_by_idx)]
+    # bend the trajectory exactly like app.py's final pass (odometry
+    # composition, posegraph.bend_trajectory)
+    from tsdfjax.posegraph import bend_trajectory
+
+    kts = [snaps[kf.frame_id][0] for kf in kfs]
+    snap_poses = [snaps[kf.frame_id][1] for kf in kfs]
+    bent = bend_trajectory(est_by_idx, kts, snap_poses, opt)
 
     gt = tum.read_trajectory(os.path.join(args.seq, "groundtruth.txt"))
     ate_raw = tum.ate_rmse(est_by_idx, gt)

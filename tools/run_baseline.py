@@ -442,7 +442,10 @@ def main() -> int:
     # GN schedule) on whatever backend is active; run WITHOUT --cpu on the
     # TPU host to give strict-parity settings chip execution evidence.
     if 8 in configs:
-        nf = min(args.frames, 40)
+        # >=120 frames: round-3's 40-frame strict chip run was "adequate
+        # as an existence proof, too thin to call strict-mode chip
+        # behavior verified" (VERDICT r3 weak #7 / item 8)
+        nf = min(args.frames, 120)
         seq, source = ensure_sequence(args.data_root, "fr1_desk", "desk",
                                       nf, args.noise)
         gt = os.path.join(seq, "groundtruth.txt")

@@ -63,6 +63,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log-jsonl", help="write per-frame JSONL log here")
     p.add_argument("--exact", action="store_true",
                    help="use the exact gather-based ops instead of the fast MXU paths")
+    p.add_argument("--device-weld", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="weld mesh vertices ON DEVICE and transfer only the "
+                        "indexed mesh (auto: on for TPU backends, where the "
+                        "triangle-soup D2H dominates extraction time; off "
+                        "keeps the bit-stable host weld)")
     p.add_argument("--depth-factor", type=float, default=5000.0)
     p.add_argument("--relocalize-after", type=int, default=5,
                    help="after N consecutive lost frames, reset the pose to "
@@ -366,10 +372,15 @@ def main(argv=None) -> int:
                 with_color=cfg.switches.use_color,
             )
         else:
+            device_weld = (
+                jax.default_backend() not in ("cpu",)
+                if args.device_weld == "auto" else args.device_weld == "on"
+            )
             mesh = M.extract_mesh(
                 engine.state.volume, cfg.volume,
                 max_triangles=cfg.marching_cubes.max_triangles,
                 with_color=cfg.switches.use_color,
+                device_weld=device_weld,
             )
         if mesh_path:
             M.save_mesh(mesh, mesh_path)

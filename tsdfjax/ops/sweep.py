@@ -1169,6 +1169,45 @@ def sdf_sweep_prepare(
     return dict(q1=q1, q2=q2, q1_s=q1_s, q2_s=q2_s, d_q=d_q, w_mult=w_mult)
 
 
+def sdf_sweep_stack_sharded(
+    tsdf: Array, weight: Array, axis: int, stride: int,
+    axis_name: str = "space", dtype=jnp.bfloat16,
+) -> tuple[Array, Array]:
+    """Sharded sdf_sweep_stack, called per shard inside shard_map: the
+    local (block, R, R) x-slab becomes this shard's k-BAND of the sweep
+    stack. When the sweep axis is x the slab already is a k band; for
+    y/z the transposed slab (k full, i = x band) is re-sharded with one
+    all_to_all (the same move as fast_raycast_sharded). One ppermute
+    prepends the lower-k HALO slice (the left neighbor's last strided
+    slice) so bracketing across the band boundary sees its `prev` slice.
+
+    Returns ((2, n_k_own + 1, R, R) extended stack with the halo at
+    index 0, mb = this band's global strided-slice offset)."""
+    perm = _PERMS[axis]
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    t = jnp.transpose(tsdf.astype(dtype), perm)
+    v = jnp.transpose((weight > 0).astype(dtype), perm)
+    if axis != 0:
+        t = jax.lax.all_to_all(t, axis_name, split_axis=0, concat_axis=1, tiled=True)
+        v = jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=1, tiled=True)
+    band = t.shape[0]
+    if stride > 1:
+        # band start k0 = idx*band is a multiple of stride (the caller
+        # guarantees band % stride == 0), so the local [::stride] pick
+        # lands exactly on the dense stack's global strided slices
+        n_k = band // stride
+        t = t.reshape((n_k, stride) + t.shape[1:])[:, 0]
+        v = v.reshape((n_k, stride) + v.shape[1:])[:, 0]
+    stack = jnp.stack([t, v], axis=0)  # (2, n_k_own, R, R)
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    from_left = jax.lax.ppermute(stack[:, -1:], axis_name, fwd)
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    ext = jnp.concatenate([from_left, stack], axis=1)
+    mb = idx * (band // max(stride, 1))
+    return ext, mb
+
+
 def sdf_sweep_normal_eqs(
     prep: dict,
     vol_samp: Array,
@@ -1178,6 +1217,8 @@ def sdf_sweep_normal_eqs(
     axis: int,
     stride: int,
     dtype=jnp.bfloat16,
+    mb: Array | None = None,
+    axis_name: str | None = None,
 ) -> tuple[Array, Array, Array]:
     """One GN iteration's (a7 (7,7), n_valid, |psi| sum) for the direct
     SDF tracker — the reference's 27-scalar reduction
@@ -1195,11 +1236,23 @@ def sdf_sweep_normal_eqs(
         the GN rows elementwise, and MXU-reduce them weighted by the
         pixel multiplicity w — an EXACT rewrite of the per-pixel sum;
       - the k-loop visits only the slice band [min, max] of the target
-        depths (lax.fori_loop with traced bounds). ZERO gathers."""
+        depths (lax.fori_loop with traced bounds). ZERO gathers.
+
+    Sharded mode (`mb`/`axis_name` set, called per shard inside
+    shard_map): `vol_samp` is this shard's k-band from
+    sdf_sweep_stack_sharded (lower-k halo slice at index 0); each shard
+    composites only its own band — every target depth is bracketed by
+    exactly one shard's slice interval, so the psum of the partial
+    (a7, n_valid, |psi| sum) is an EXACT rewrite of the dense
+    reduction (the Schur-style decomposition of SURVEY.md §2.7)."""
     vthresh = 0.97 if dtype == jnp.bfloat16 else 0.999
     res = vol_cfg.resolution
     cell = vol_cfg.voxel_size_m
-    n_k = vol_samp.shape[1]
+    if axis_name is not None:
+        n_k_own = vol_samp.shape[1] - 1  # index 0 is the halo slice
+        n_k = n_k_own * jax.lax.axis_size(axis_name)
+    else:
+        n_k = vol_samp.shape[1]
     geom = make_sweep_geom(pose, cam, vol_cfg, axis)
     q1, q2 = prep["q1"], prep["q2"]
     q1_s, q2_s = prep["q1_s"], prep["q2_s"]
@@ -1216,7 +1269,10 @@ def sdf_sweep_normal_eqs(
     big = jnp.float32(res)
     k_min = jnp.min(jnp.where(has_target, k_t, big))
     k_max = jnp.max(jnp.where(has_target, k_t, -big))
-    bsz = RAYCAST_BSZ if n_k % RAYCAST_BSZ == 0 else 1
+    bsz = (
+        (RAYCAST_BSZ if n_k % RAYCAST_BSZ == 0 else 1)
+        if axis_name is None else 1
+    )
     m_lo = jnp.clip(
         jnp.floor(k_min / stride).astype(jnp.int32) - 1, 0, jnp.int32(n_k)
     )
@@ -1301,7 +1357,55 @@ def sdf_sweep_normal_eqs(
             st = composite(st, block[b], m0 + b, usables[b])
         return st
 
-    st = jax.lax.fori_loop(t_lo, t_hi, body, init)
+    if axis_name is None:
+        st = jax.lax.fori_loop(t_lo, t_hi, body, init)
+    else:
+        # this shard composites only the slices of its own band that the
+        # global target range visits; the loop body has no collectives,
+        # so per-shard trip counts may differ
+        m_lo_own = jnp.maximum(m_lo, mb)
+        m_hi_own = jnp.minimum(m_hi, mb + n_k_own)
+        # the loop carry is per-shard "varying" (derived from the local
+        # band); mark the replicated zero init accordingly for shard_map
+        init = {
+            k: jax.lax.pcast(v, (axis_name,), to="varying")
+            for k, v in init.items()
+        }
+        # seed `prev` from the halo slice when this band continues a
+        # sweep the left neighbor started (global band reaches below mb)
+        have_halo = (m_lo < mb) & (m_lo_own < m_hi_own)
+        halo_src = jnp.swapaxes(
+            jax.lax.dynamic_slice_in_dim(vol_samp, 0, 1, axis=1), 0, 1
+        )
+        halo_block, halo_usable = resample_sweep(
+            halo_src, jnp.reshape((mb - 1) * stride, (1,))
+        )
+        h0 = halo_block[0]
+        init = dict(
+            init,
+            prev=jnp.where(have_halo, h0, init["prev"]),
+            prev_di=jnp.where(
+                have_halo,
+                0.5 * (_shift2(h0[0], 0, +1) - _shift2(h0[0], 0, -1)),
+                init["prev_di"],
+            ),
+            prev_dj=jnp.where(
+                have_halo,
+                0.5 * (_shift2(h0[0], 1, +1) - _shift2(h0[0], 1, -1)),
+                init["prev_dj"],
+            ),
+            prev_usable=halo_usable[0] & have_halo,
+        )
+
+        def body_s(m, st):
+            src = jnp.swapaxes(
+                jax.lax.dynamic_slice_in_dim(vol_samp, m - mb + 1, 1, axis=1),
+                0, 1,
+            )
+            block, usables = resample_sweep(src, jnp.reshape(m * stride, (1,)))
+            return composite(st, block[0], m, usables[0])
+
+        st = jax.lax.fori_loop(m_lo_own, m_hi_own, body_s, init)
 
     # chain rule (k, gi, gj) -> world, in 1/meter units (see _raycast_axis)
     gamma_star = k_t + geom.kappa
@@ -1351,6 +1455,10 @@ def sdf_sweep_normal_eqs(
     )
     n_val = jnp.sum(wv)
     res_sum = jnp.sum(jnp.abs(psi) * wv)
+    if axis_name is not None:
+        a7 = jax.lax.psum(a7, axis_name)
+        n_val = jax.lax.psum(n_val, axis_name)
+        res_sum = jax.lax.psum(res_sum, axis_name)
     return a7, n_val, res_sum
 
 

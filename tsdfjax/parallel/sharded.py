@@ -266,16 +266,27 @@ class ShardedFusion:
                 pose = jnp.where(frame0, state.pose, jnp.where(ok, cur, state.pose))
                 ok = ok | frame0
             elif mode == "sdf":
-                ext_vol = V.TsdfVolume(
-                    tsdf=_halo_exchange(state.volume.tsdf, halo),
-                    weight=_halo_exchange(state.volume.weight, halo),
-                    color=_halo_exchange(state.volume.color, halo),
-                )
-                res_t = sdf_mod.sdf_track(
-                    ext_vol, trunced, state.pose, cfg.depth_camera,
-                    cfg.volume, cfg.sdf_tracker, reduce_fn=psum,
-                    x0=x0_ext, own_x_range=(own_lo, own_hi),
-                )
+                if self.fast_ops:
+                    # gather-free sweep tracker under the k-band
+                    # decomposition (sdf_track_sweep_sharded): per-iter
+                    # normal equations psum, no volume halo needed
+                    res_t = sdf_mod.sdf_track_sweep_sharded(
+                        state.volume, trunced, state.pose, cfg.depth_camera,
+                        cfg.volume, cfg.sdf_tracker,
+                        sdf_trunc_m=cfg.integrate.sdf_trunc_m,
+                        axis_name="space",
+                    )
+                else:
+                    ext_vol = V.TsdfVolume(
+                        tsdf=_halo_exchange(state.volume.tsdf, halo),
+                        weight=_halo_exchange(state.volume.weight, halo),
+                        color=_halo_exchange(state.volume.color, halo),
+                    )
+                    res_t = sdf_mod.sdf_track(
+                        ext_vol, trunced, state.pose, cfg.depth_camera,
+                        cfg.volume, cfg.sdf_tracker, reduce_fn=psum,
+                        x0=x0_ext, own_x_range=(own_lo, own_hi),
+                    )
                 pose = jnp.where(
                     frame0, state.pose, jnp.where(res_t.ok, res_t.pose, state.pose)
                 )

@@ -395,54 +395,120 @@ def sdf_track_sweep(
     def branch(a):
         def run(_):
             vol_samp = sdf_sweep_stack(volume.tsdf, volume.weight, a, stride)
-
-            def gn_iter(prep, carry):
-                i, cur, ok, done, residual, n_val = carry
-                a7, nv_f, res_sum = sdf_sweep_normal_eqs(
-                    prep, vol_samp, cur, cam, vol_cfg, a, stride
-                )
-                cur, ok, done = _gn_solve_update(a7, cur, ok, done, cfg)
-                nv = nv_f.astype(jnp.int32)
-                res = res_sum / jnp.maximum(nv_f, 1.0)
-                return i + 1, cur, ok, done, res, nv
-
-            # Iteration 1 with the association frozen at the INITIAL pose
-            # (exact there); the first step carries the bulk of the
-            # inter-frame motion, which would leave the frozen pixel<->q
-            # association several pixels stale — so prep is rebuilt ONCE
-            # at the stepped pose, and the remaining iterations (whose
-            # per-step motion is sub-pixel) run gather-free against it.
-            init = (
-                jnp.array(0, jnp.int32),
-                pose,
-                jnp.array(True),
-                jnp.array(False),
-                jnp.array(0.0, jnp.float32),
-                jnp.array(0, jnp.int32),
+            return _sweep_gn_loop(
+                vol_samp, pose, trunced_depth, cam, vol_cfg, cfg, a, stride
             )
-            prep0 = sdf_sweep_prepare(pose, trunced_depth, cam, vol_cfg, a,
-                                      q_oversample=cfg.q_oversample)
-            carry = gn_iter(prep0, init)
-            if cfg.rebuild_assoc_every_iter:
-                def iter_fresh(c):
-                    prep = sdf_sweep_prepare(c[1], trunced_depth, cam, vol_cfg,
-                                             a, q_oversample=cfg.q_oversample)
-                    return gn_iter(prep, c)
 
-                i, cur, ok, _, residual, n_val = jax.lax.while_loop(
-                    lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
-                    iter_fresh, carry,
-                )
-            else:
-                prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg,
-                                          a, q_oversample=cfg.q_oversample)
-                i, cur, ok, _, residual, n_val = jax.lax.while_loop(
-                    lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
-                    lambda c: gn_iter(prep1, c),
-                    carry,
-                )
-            ok = ok & _frame_shake_ok(cur, pose, cfg)
-            return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
+        return run
+
+    return jax.lax.switch(axis, [branch(0), branch(1), branch(2)], None)
+
+
+def _sweep_gn_loop(
+    vol_samp, pose, trunced_depth, cam, vol_cfg, cfg, a, stride,
+    mb=None, axis_name=None,
+) -> SdfResult:
+    """Shared GN loop of the sweep SDF tracker (dense and sharded): per
+    iteration one gather-free normal-equation sweep + solve/update.
+
+    Iteration 1 runs with the association frozen at the INITIAL pose
+    (exact there); the first step carries the bulk of the inter-frame
+    motion, which would leave the frozen pixel<->q association several
+    pixels stale — so prep is rebuilt ONCE at the stepped pose, and the
+    remaining iterations (whose per-step motion is sub-pixel) run
+    against it. Under sharding the prep is computed identically on every
+    shard (replicated pose + depth, no collectives) and only the normal
+    equations psum."""
+    from tsdfjax.ops.sweep import sdf_sweep_normal_eqs, sdf_sweep_prepare
+
+    def gn_iter(prep, carry):
+        i, cur, ok, done, residual, n_val = carry
+        a7, nv_f, res_sum = sdf_sweep_normal_eqs(
+            prep, vol_samp, cur, cam, vol_cfg, a, stride,
+            mb=mb, axis_name=axis_name,
+        )
+        cur, ok, done = _gn_solve_update(a7, cur, ok, done, cfg)
+        nv = nv_f.astype(jnp.int32)
+        res = res_sum / jnp.maximum(nv_f, 1.0)
+        return i + 1, cur, ok, done, res, nv
+
+    init = (
+        jnp.array(0, jnp.int32),
+        pose,
+        jnp.array(True),
+        jnp.array(False),
+        jnp.array(0.0, jnp.float32),
+        jnp.array(0, jnp.int32),
+    )
+    prep0 = sdf_sweep_prepare(pose, trunced_depth, cam, vol_cfg, a,
+                              q_oversample=cfg.q_oversample)
+    carry = gn_iter(prep0, init)
+    if cfg.rebuild_assoc_every_iter:
+        def iter_fresh(c):
+            prep = sdf_sweep_prepare(c[1], trunced_depth, cam, vol_cfg,
+                                     a, q_oversample=cfg.q_oversample)
+            return gn_iter(prep, c)
+
+        i, cur, ok, _, residual, n_val = jax.lax.while_loop(
+            lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
+            iter_fresh, carry,
+        )
+    else:
+        prep1 = sdf_sweep_prepare(carry[1], trunced_depth, cam, vol_cfg,
+                                  a, q_oversample=cfg.q_oversample)
+        i, cur, ok, _, residual, n_val = jax.lax.while_loop(
+            lambda c: (c[0] < cfg.max_iters) & ~c[3] & c[2],
+            lambda c: gn_iter(prep1, c),
+            carry,
+        )
+    ok = ok & _frame_shake_ok(cur, pose, cfg)
+    return SdfResult(pose=cur, ok=ok, residual=residual, num_valid=n_val)
+
+
+def sdf_track_sweep_sharded(
+    volume: TsdfVolume,
+    trunced_depth: Array,
+    pose: Array,
+    cam: CameraIntrinsics,
+    vol_cfg: VolumeConfig,
+    cfg: SdfTrackerConfig,
+    sdf_trunc_m: float | None = None,
+    axis_name: str = "space",
+) -> SdfResult:
+    """sdf_track_sweep for an x-sharded volume, called per shard inside
+    shard_map (VERDICT r3 item 7 — the sharded engine previously fell
+    back to the exact gather SDF kernel and lost the gather-free path).
+    `volume` holds the LOCAL (block, R, R) slab; each shard composites
+    only its own k-band of the sweep (sdf_sweep_stack_sharded: one
+    all_to_all when the sweep axis isn't x + a 1-slice halo ppermute)
+    and the per-iteration normal equations psum — the exact Schur-style
+    sum decomposition of SURVEY.md §2.7.
+
+    The GN while_loop stays SPMD-lockstep: the solve consumes the
+    psum'd system, so every shard sees identical convergence/shake
+    decisions."""
+    from tsdfjax.ops.sweep import (
+        _raycast_stride,
+        pick_sweep_axis,
+        sdf_sweep_stack_sharded,
+    )
+
+    n = jax.lax.axis_size(axis_name)
+    band = vol_cfg.resolution // n
+    stride = _raycast_stride(vol_cfg, sdf_trunc_m)
+    if band % stride != 0:
+        stride = 1
+    axis = pick_sweep_axis(pose)  # replicated pose -> same branch everywhere
+
+    def branch(a):
+        def run(_):
+            vol_samp, mb = sdf_sweep_stack_sharded(
+                volume.tsdf, volume.weight, a, stride, axis_name
+            )
+            return _sweep_gn_loop(
+                vol_samp, pose, trunced_depth, cam, vol_cfg, cfg, a, stride,
+                mb=mb, axis_name=axis_name,
+            )
 
         return run
 
