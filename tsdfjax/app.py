@@ -70,6 +70,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "triangle-soup D2H dominates extraction time; off "
                         "keeps the bit-stable host weld)")
     p.add_argument("--depth-factor", type=float, default=5000.0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin "
+                        "ignores JAX_PLATFORMS, so this must be a flag)")
     p.add_argument("--relocalize-after", type=int, default=5,
                    help="after N consecutive lost frames, reset the pose to "
                         "the last keyframe's pose (0 disables; the reference "
@@ -81,6 +84,9 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from tsdfjax.config import AppConfig, load_ini

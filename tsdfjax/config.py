@@ -145,6 +145,23 @@ class SdfTrackerConfig:
     # once after the first step. Costs one extra prepare per iteration;
     # removes association staleness for fast inter-frame motion.
     rebuild_assoc_every_iter: bool = False
+    # Huber IRLS scale (normalized-TSDF units) for the sweep tracker's
+    # residuals; 0 disables (reference parity: plain least squares,
+    # CalSDFErrSolverParams.cu:88-108). Measured on the sigma=0.005
+    # stress point: downweighting large residuals HURT (0.52 cm -> 0.76
+    # at delta 0.3, 1.77 at 0.5) — early GN iterations carry large
+    # honest residuals from inter-frame motion and IRLS misdirects them.
+    # Kept as an option for high-outlier data; use_filtered_depth below
+    # is the fix that actually works.
+    huber_delta: float = 0.0
+    # Evaluate the SDF residuals at points unprojected from the
+    # bilateral-FILTERED depth instead of the raw trunced depth. The
+    # reference feeds the tracker raw trunced depth
+    # (CalSDFErrSolverParams.cu uses raw_depth) while its ICP tracks on
+    # filtered vertex maps — this asymmetry is much of the SDF tracker's
+    # noise fragility (measured: 0.52 -> 0.41 cm at sigma=0.005). Off by
+    # default for reference parity; the fast profile enables it.
+    use_filtered_depth: bool = False
 
 
 @dataclass(frozen=True)
@@ -286,6 +303,10 @@ def load_ini(path: str) -> AppConfig:
         angle_shake_rad=_get(cp, "sdfTracker", "camera_shake_angle", 0.4, float),
         source_subsample=_get(cp, "tsdfjax", "sdf_source_subsample", 1, int),
         q_oversample=_get(cp, "tsdfjax", "sdf_q_oversample", 1.6, float),
+        huber_delta=_get(cp, "tsdfjax", "sdf_huber_delta", 0.0, float),
+        use_filtered_depth=_get(
+            cp, "tsdfjax", "sdf_use_filtered_depth", False, bool
+        ),
     )
     mc = MarchingCubesConfig(
         max_triangles=_get(cp, "mesh", "max_triangle_num", 1_500_000, int),

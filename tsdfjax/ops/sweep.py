@@ -1188,7 +1188,7 @@ def sdf_sweep_stack_sharded(
     idx = jax.lax.axis_index(axis_name)
     t = jnp.transpose(tsdf.astype(dtype), perm)
     v = jnp.transpose((weight > 0).astype(dtype), perm)
-    if axis != 0:
+    if axis != 0 and n > 1:
         t = jax.lax.all_to_all(t, axis_name, split_axis=0, concat_axis=1, tiled=True)
         v = jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=1, tiled=True)
     band = t.shape[0]
@@ -1200,9 +1200,13 @@ def sdf_sweep_stack_sharded(
         t = t.reshape((n_k, stride) + t.shape[1:])[:, 0]
         v = v.reshape((n_k, stride) + v.shape[1:])[:, 0]
     stack = jnp.stack([t, v], axis=0)  # (2, n_k_own, R, R)
-    fwd = [(i, i + 1) for i in range(n - 1)]
-    from_left = jax.lax.ppermute(stack[:, -1:], axis_name, fwd)
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    if n == 1:  # static: no neighbor; the single shard owns the global
+        # band start, so the halo slice is never bracketed against
+        from_left = jnp.zeros_like(stack[:, :1])
+    else:
+        fwd = [(i, i + 1) for i in range(n - 1)]
+        from_left = jax.lax.ppermute(stack[:, -1:], axis_name, fwd)
+        from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
     ext = jnp.concatenate([from_left, stack], axis=1)
     mb = idx * (band // max(stride, 1))
     return ext, mb
@@ -1219,6 +1223,7 @@ def sdf_sweep_normal_eqs(
     dtype=jnp.bfloat16,
     mb: Array | None = None,
     axis_name: str | None = None,
+    huber_delta: float = 0.0,
 ) -> tuple[Array, Array, Array]:
     """One GN iteration's (a7 (7,7), n_valid, |psi| sum) for the direct
     SDF tracker — the reference's 27-scalar reduction
@@ -1437,6 +1442,17 @@ def sdf_sweep_normal_eqs(
 
     wv = jnp.where(st["found"] & st["ok"], prep["w_mult"], 0.0)  # (Qh, Qw)
     psi = jnp.where(wv > 0, st["psi"], 0.0)
+    if huber_delta > 0:
+        # Huber IRLS on the normalized-TSDF residual: plain least squares
+        # lets the noise tail (|psi| -> truncation saturation) outvote the
+        # near-surface inliers — measured 16x ATE degradation vs ICP at
+        # sigma = 0.005 (round-3 stress sweep). w = min(1, delta/|psi|)
+        # multiplies the per-q weight; the contribution becomes
+        # sum w_mult * w_huber * r r^T, the standard IRLS normal equation.
+        w_hub = jnp.minimum(
+            1.0, huber_delta / jnp.maximum(jnp.abs(psi), 1e-6)
+        )
+        wv = wv * jnp.where(wv > 0, w_hub, 0.0)
     rows = jnp.stack(
         [
             -gy * pz_ + gz * py_,  # d(psi)/d(omega) = grad . (G_i p)
@@ -1474,6 +1490,10 @@ def _halo_k(local: Array, halo: int, axis_name: str) -> Array:
     edge-replicated erosion stencil; the k>0 guard keeps the replicated
     phantom from ever producing a crossing)."""
     n = jax.lax.axis_size(axis_name)
+    if n == 1:  # static: no neighbors, both halos are edge replications
+        edge_lo = jnp.broadcast_to(local[:1], (halo,) + local.shape[1:])
+        edge_hi = jnp.broadcast_to(local[-1:], (halo,) + local.shape[1:])
+        return jnp.concatenate([edge_lo, local, edge_hi], axis=0)
     idx = jax.lax.axis_index(axis_name)
     fwd = [(i, i + 1) for i in range(n - 1)]
     bwd = [(i + 1, i) for i in range(n - 1)]
@@ -1528,7 +1548,7 @@ def fast_raycast_sharded(
             t_p = jnp.transpose(volume.tsdf, perm)
             w_p = jnp.transpose(volume.weight, perm)
             c_p = jnp.transpose(volume.color, (*perm, 3)) if with_color else None
-            if a != 0:
+            if a != 0 and jax.lax.axis_size(axis_name) > 1:
                 # permuted local slab is (k=R full, i=x block): re-shard to
                 # a k band with full in-slice extent
                 t_p = jax.lax.all_to_all(t_p, axis_name, split_axis=0, concat_axis=1, tiled=True)

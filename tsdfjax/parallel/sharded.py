@@ -88,6 +88,9 @@ def _halo_exchange(local: Array, halo: int, axis_name: str = "space") -> Array:
     global-edge shards receive zeros, matching 'unobserved' semantics.
     """
     n = jax.lax.axis_size(axis_name)
+    if n == 1:  # static: no neighbors -> both halos are zero ("unobserved")
+        z = jnp.zeros_like(local[:halo])
+        return jnp.concatenate([z, local, z], axis=0)
     idx = jax.lax.axis_index(axis_name)
     right_piece = local[-halo:]  # sent rightward: becomes neighbor's left halo
     left_piece = local[:halo]  # sent leftward: becomes neighbor's right halo
@@ -184,9 +187,12 @@ class ShardedFusion:
             x0_ext = x0_own - halo
 
             pre = cfg.preprocess
-            trunced, _f, verts, normals = F.preprocess_depth(
+            trunced, filtered, verts, normals = F.preprocess_depth(
                 depth_m, cfg.depth_camera, pre.min_trunc_m, pre.max_trunc_m,
                 pre.sigma_pixel, pre.sigma_depth,
+            )
+            sdf_depth = (
+                filtered if cfg.sdf_tracker.use_filtered_depth else trunced
             )
 
             # ---------------- tracking ----------------
@@ -271,7 +277,7 @@ class ShardedFusion:
                     # decomposition (sdf_track_sweep_sharded): per-iter
                     # normal equations psum, no volume halo needed
                     res_t = sdf_mod.sdf_track_sweep_sharded(
-                        state.volume, trunced, state.pose, cfg.depth_camera,
+                        state.volume, sdf_depth, state.pose, cfg.depth_camera,
                         cfg.volume, cfg.sdf_tracker,
                         sdf_trunc_m=cfg.integrate.sdf_trunc_m,
                         axis_name="space",
@@ -283,7 +289,7 @@ class ShardedFusion:
                         color=_halo_exchange(state.volume.color, halo),
                     )
                     res_t = sdf_mod.sdf_track(
-                        ext_vol, trunced, state.pose, cfg.depth_camera,
+                        ext_vol, sdf_depth, state.pose, cfg.depth_camera,
                         cfg.volume, cfg.sdf_tracker, reduce_fn=psum,
                         x0=x0_ext, own_x_range=(own_lo, own_hi),
                     )

@@ -151,12 +151,17 @@ def process_frame(
     CudaDeviceDataMan buffers); callers must not reuse the passed state.
     """
     pre = cfg.preprocess
-    trunced, _filtered, verts, normals = F.preprocess_depth(
+    trunced, filtered, verts, normals = F.preprocess_depth(
         depth_m, cfg.depth_camera, pre.min_trunc_m, pre.max_trunc_m,
         pre.sigma_pixel, pre.sigma_depth,
     )
 
-    pose, ok, residual, corr = _track(cfg, mode, state, trunced, verts, normals, ext_pose)
+    # the SDF tracker takes raw trunced depth for reference parity
+    # (CalSDFErrSolverParams.cu), optionally the bilateral-filtered map
+    # (config.SdfTrackerConfig.use_filtered_depth) — the same noise
+    # treatment the ICP path gets via its filtered vertex maps
+    sdf_depth = filtered if cfg.sdf_tracker.use_filtered_depth else trunced
+    pose, ok, residual, corr = _track(cfg, mode, state, sdf_depth, verts, normals, ext_pose)
 
     def do_integrate(vol):
         if cfg.fast_ops:

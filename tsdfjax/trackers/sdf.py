@@ -425,7 +425,7 @@ def _sweep_gn_loop(
         i, cur, ok, done, residual, n_val = carry
         a7, nv_f, res_sum = sdf_sweep_normal_eqs(
             prep, vol_samp, cur, cam, vol_cfg, a, stride,
-            mb=mb, axis_name=axis_name,
+            mb=mb, axis_name=axis_name, huber_delta=cfg.huber_delta,
         )
         cur, ok, done = _gn_solve_update(a7, cur, ok, done, cfg)
         nv = nv_f.astype(jnp.int32)
