@@ -73,6 +73,38 @@ class TestAppCli:
         ]) == 0
         assert os.path.getsize(f"{out}/m2.obj") > 1000
 
+    def test_device_weld_mesh_matches_host_weld(self, ini_path, tmp_path):
+        """--device-weld on must produce the same watertight mesh surface
+        as the default host weld (VERDICT r3 item 6: the device weld was
+        unreachable from the CLI)."""
+        out = str(tmp_path)
+        for weld in ("on", "off"):
+            assert main([
+                "--config", ini_path, "--synthetic", "4", "--tracker", "file",
+                "--device-weld", weld, "--mesh-out", f"{out}/m_{weld}.obj",
+            ]) == 0
+        from tsdfjax.mesh import load_mesh
+
+        m_on = load_mesh(f"{out}/m_on.obj")
+        m_off = load_mesh(f"{out}/m_off.obj")
+        # counts agree up to quantization-boundary ties (f32 device round
+        # vs f64 host round can split one cell); the surface itself must
+        # be the same geometry
+        assert abs(m_on.num_vertices - m_off.num_vertices) <= max(
+            2, m_off.num_vertices // 1000
+        )
+        assert abs(m_on.num_faces - m_off.num_faces) <= max(
+            4, m_off.num_faces // 1000
+        )
+
+        def area(m):
+            t = m.vertices[m.faces]
+            return float(np.linalg.norm(
+                np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0]), axis=1
+            ).sum()) * 0.5
+
+        assert abs(area(m_on) - area(m_off)) < 1e-3 * max(area(m_off), 1e-9)
+
     def test_checkpoint_mismatch_rejected(self, ini_path, tmp_path):
         from tsdfjax.checkpoint import load_state, save_state
         from tsdfjax.config import load_ini, AppConfig

@@ -76,24 +76,37 @@ def ensure_sequence(data_root: str, name: str, kind: str, frames: int,
 
 
 def run_app(argv: list[str]) -> tuple[int, str, float]:
-    """Run the application CLI in-process, capturing stderr text."""
-    import io
-    from contextlib import redirect_stderr
+    """Run the application CLI as a SUBPROCESS (`python -m tsdfjax.app`),
+    teeing stderr live and returning its text.
 
-    from tsdfjax.app import main as app_main
+    This used to run app.main in-process; on the axon TPU tunnel the
+    teardown of one run's engine (freeing ~0.5 GB of device buffers +
+    executables) deadlocked before the next run could start — observed
+    as an 18-minute futex hang between config-6 legs. A subprocess per
+    leg isolates device state completely and is also exactly what a user
+    types."""
+    import subprocess
 
-    buf = io.StringIO()
+    if "--cpu" not in argv and jax_is_cpu():
+        argv = list(argv) + ["--cpu"]
     t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tsdfjax.app", *argv],
+        cwd=REPO, stderr=subprocess.PIPE, stdout=subprocess.DEVNULL,
+        text=True,
+    )
+    lines = []
+    for line in proc.stderr:
+        lines.append(line)
+        sys.__stderr__.write(line)
+    rc = proc.wait()
+    return rc, "".join(lines), time.perf_counter() - t0
 
-    class Tee(io.TextIOBase):
-        def write(self, s):
-            buf.write(s)
-            sys.__stderr__.write(s)
-            return len(s)
 
-    with redirect_stderr(Tee()):
-        rc = app_main(argv)
-    return rc, buf.getvalue(), time.perf_counter() - t0
+def jax_is_cpu() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
 
 
 def parse_metrics(err_text: str) -> dict:
