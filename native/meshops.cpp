@@ -83,6 +83,16 @@ struct TripleTable {
                 slots[i] = s;
             }
     }
+    // find-only probe: returns the stored id or -1 (no insertion)
+    int32_t find(int32_t x, int32_t y, int32_t z) const {
+        uint64_t i = key_hash(x, y, z) & mask;
+        for (;;) {
+            const Slot& s = slots[i];
+            if (s.id < 0) return -1;
+            if (s.x == x && s.y == y && s.z == z) return s.id;
+            i = (i + 1) & mask;
+        }
+    }
     // returns the id; assigns new_id (and returns it) on first encounter
     int32_t find_or_insert(int32_t x, int32_t y, int32_t z, int32_t new_id) {
         if (count * 3 >= (int64_t)slots.size() * 2) grow();
@@ -281,6 +291,106 @@ int tj_weld(const float* tri_verts, const float* tri_colors, int64_t ntri,
         *out_nv = nv;
         *out_nf = kcount[T];
     }
+    return 0;
+}
+
+// EXACT-NN weld (the reference's mergeCloseVertices approx=false mode,
+// meshData.cpp:239-262): a corner merges into the NEAREST previously
+// kept vertex within true eps DISTANCE, searched over the 27 grid cells
+// neighboring its quantized cell — unlike the approx mode, pairs within
+// eps that straddle a cell boundary DO merge. First-encounter ordering
+// is inherently sequential (the kept set grows as corners stream), so
+// this path is single-threaded, like the reference's.
+int tj_weld_exact(const float* tri_verts, const float* tri_colors,
+                  int64_t ntri, float eps, float* out_verts,
+                  float* out_colors, int64_t* out_faces, int64_t* out_nv,
+                  int64_t* out_nf) {
+    if (ntri < 0 || eps <= 0) return 1;
+    *out_nv = 0;
+    *out_nf = 0;
+    if (ntri == 0) return 0;
+    const int64_t nc = ntri * 3;
+    const float inv_eps = 1.0f / eps;
+    const float eps2 = eps * eps;
+
+    // cell -> cell-id; kept vertices chain per cell (head/nxt)
+    TripleTable cells;
+    cells.init(std::max<int64_t>(nc / 8, 64));
+    std::vector<int32_t> head;      // cell-id -> first kept vertex (-1 none)
+    std::vector<int32_t> nxt;       // kept vertex -> next in same cell
+    std::vector<int64_t> rep;       // kept vertex -> source corner
+    std::vector<int32_t> local(nc);
+    nxt.reserve(nc / 8 + 16);
+    rep.reserve(nc / 8 + 16);
+
+    for (int64_t i = 0; i < nc; ++i) {
+        const float* p = tri_verts + i * 3;
+        int32_t cx = (int32_t)llroundf(p[0] * inv_eps);
+        int32_t cy = (int32_t)llroundf(p[1] * inv_eps);
+        int32_t cz = (int32_t)llroundf(p[2] * inv_eps);
+        int32_t best = -1;
+        float best_d2 = eps2;
+        for (int dz = -1; dz <= 1; ++dz)
+            for (int dy = -1; dy <= 1; ++dy)
+                for (int dx = -1; dx <= 1; ++dx) {
+                    int32_t cid = cells.find(cx + dx, cy + dy, cz + dz);
+                    if (cid < 0) continue;  // no kept vertex in this cell
+                    for (int32_t v = head[cid]; v >= 0; v = nxt[v]) {
+                        const float* q = tri_verts + rep[v] * 3;
+                        float ddx = p[0] - q[0], ddy = p[1] - q[1],
+                              ddz = p[2] - q[2];
+                        float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                        if (d2 <= best_d2) {
+                            best_d2 = d2;
+                            best = v;
+                        }
+                    }
+                }
+        if (best >= 0) {
+            local[i] = best;
+        } else {
+            int32_t id = (int32_t)rep.size();
+            rep.push_back(i);
+            nxt.push_back(-1);
+            int32_t cid = cells.find_or_insert(cx, cy, cz,
+                                               (int32_t)head.size());
+            if (cid == (int32_t)head.size()) head.push_back(-1);
+            nxt[id] = head[cid];
+            head[cid] = id;
+            local[i] = id;
+        }
+    }
+    const int64_t nv = (int64_t)rep.size();
+    for (int64_t v = 0; v < nv; ++v) {
+        std::memcpy(out_verts + v * 3, tri_verts + rep[v] * 3,
+                    3 * sizeof(float));
+        if (tri_colors && out_colors)
+            std::memcpy(out_colors + v * 3, tri_colors + rep[v] * 3,
+                        3 * sizeof(float));
+    }
+    // faces: drop degenerate, dedup on the sorted id triple (first wins)
+    TripleTable ftab;
+    ftab.init(std::max<int64_t>(ntri / 2, 16));
+    int64_t nf = 0;
+    int32_t next_face = 0;
+    for (int64_t f = 0; f < ntri; ++f) {
+        int32_t a = local[f * 3 + 0], b = local[f * 3 + 1],
+                c = local[f * 3 + 2];
+        if (a == b || b == c || a == c) continue;
+        int32_t sa = a, sb = b, sc = c;
+        if (sa > sb) std::swap(sa, sb);
+        if (sb > sc) std::swap(sb, sc);
+        if (sa > sb) std::swap(sa, sb);
+        int32_t id = ftab.find_or_insert(sa, sb, sc, next_face);
+        if (id != next_face) continue;
+        ++next_face;
+        out_faces[nf * 3 + 0] = a;
+        out_faces[nf * 3 + 1] = b;
+        out_faces[nf * 3 + 2] = c;
+        ++nf;
+    }
+    *out_nv = nv;
+    *out_nf = nf;
     return 0;
 }
 

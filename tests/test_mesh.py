@@ -230,6 +230,46 @@ class TestNativeMeshOps:
         # computed both on the SAME mesh here
         np.testing.assert_allclose(nat_normals, m_nat.normals, atol=1e-4)
 
+    def test_exact_weld_merges_across_cell_boundary(self):
+        """mergeCloseVertices approx=false parity (meshData.cpp:239-262):
+        a vertex pair within eps that STRADDLES a quantization-cell
+        boundary merges in exact mode but not in approx mode; native and
+        NumPy-fallback exact welds agree."""
+        import tsdfjax.native as native
+        from tsdfjax import mesh as MM
+
+        eps = 1e-3
+        # two triangles sharing an edge, but the shared corners are
+        # perturbed by 0.6*eps across a cell boundary (cells quantize by
+        # round(p/eps): 0.0005+delta and 0.0005-delta round apart)
+        a0 = np.array([0.0005 + 0.0001, 0.0, 0.0])
+        a1 = np.array([0.0005 - 0.0001, 0.0, 0.0])
+        b0 = np.array([0.0005 + 0.0001, 1.0, 0.0])
+        b1 = np.array([0.0005 - 0.0001, 1.0, 0.0])
+        c = np.array([1.0, 0.5, 0.0])
+        d = np.array([-1.0, 0.5, 0.0])
+        soup = np.stack([a0, b0, c, a1, b1, d]).astype(np.float32)
+        m_approx = MM.weld_mesh(soup, None, eps, mode="approx")
+        m_exact = MM.weld_mesh(soup, None, eps, mode="exact")
+        assert m_approx.num_vertices == 6  # straddling pairs NOT merged
+        assert m_exact.num_vertices == 4  # a0/a1 and b0/b1 merged
+        assert m_exact.num_faces == 2
+        # exact mode keeps the FIRST occurrence as representative
+        np.testing.assert_allclose(m_exact.vertices[0], a0, atol=1e-7)
+        if native.get_lib() is not None:
+            lib, tried = native._LIB, native._TRIED
+            try:
+                native._LIB, native._TRIED = None, True
+                m_py = MM.weld_mesh(soup, None, eps, mode="exact")
+            finally:
+                native._LIB, native._TRIED = lib, tried
+            assert m_py.num_vertices == m_exact.num_vertices
+            assert m_py.num_faces == m_exact.num_faces
+            np.testing.assert_allclose(
+                np.sort(m_py.vertices, axis=0),
+                np.sort(m_exact.vertices, axis=0), atol=1e-7,
+            )
+
     def test_native_obj_roundtrip(self, tmp_path):
         import tsdfjax.native as native
         from tsdfjax import mesh as MM

@@ -61,6 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--debug-dir", help="dump debug PNGs here")
     p.add_argument("--debug-every", type=int, default=50)
     p.add_argument("--log-jsonl", help="write per-frame JSONL log here")
+    p.add_argument("--profile-dir",
+                   help="capture a jax.profiler trace of the frame loop "
+                        "into this directory (view with TensorBoard / "
+                        "xprof; SURVEY.md §5 tracing plan)")
     p.add_argument("--exact", action="store_true",
                    help="use the exact gather-based ops instead of the fast MXU paths")
     p.add_argument("--device-weld", choices=["auto", "on", "off"],
@@ -187,6 +191,8 @@ def main(argv=None) -> int:
     consecutive_lost = 0
     last_pg_frame = 0
     t_start = time.perf_counter()
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     try:
         for frame_id, ts, depth, rgb, ext_pose in frames():
             if args.max_frames and n_done >= args.max_frames:
@@ -300,6 +306,12 @@ def main(argv=None) -> int:
                 )
             n_done += 1
     finally:
+        if args.profile_dir:
+            try:
+                jax.profiler.stop_trace()
+                print(f"profiler trace -> {args.profile_dir}", file=sys.stderr)
+            except RuntimeError as e:  # trace may fail on exotic backends
+                print(f"profiler trace failed: {e}", file=sys.stderr)
         if traj:
             traj.close()
 

@@ -487,13 +487,21 @@ def mesh_from_buffers_device(
     return Mesh(verts, _dedup_faces(f), colors)
 
 
-def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None, merge_eps: float) -> Mesh:
-    """Quantized-grid vertex weld (the spatial-hash 'approx' mode of
-    meshData.cpp:198-260) + duplicate-face removal.
+def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None,
+              merge_eps: float, mode: str = "approx") -> Mesh:
+    """Vertex weld + duplicate-face removal (mergeCloseVertices,
+    meshData.cpp:198-262).
+
+    mode='approx' (the default, and what the reference's mesh saver
+    actually calls): vertices sharing a quantized eps-grid cell merge.
+    mode='exact': the reference's approx=false mode — merge into the
+    NEAREST kept vertex within true eps distance, searched over the 27
+    neighboring cells, so pairs straddling a cell boundary also merge.
 
     Uses the native C++ path (tsdfjax.native / native/meshops.cpp) when
     available — ~10x faster than the NumPy fallback at reference mesh
-    sizes (1.5M triangles)."""
+    sizes (1.5M triangles); exact mode is single-threaded like the
+    reference's."""
     tri_vertices = np.asarray(tri_vertices).reshape(-1, 3)
     if tri_colors is not None:
         tri_colors = np.asarray(tri_colors).reshape(-1, 3)
@@ -501,10 +509,13 @@ def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None, merge_eps
         return Mesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
     from tsdfjax import native
 
-    nat = native.weld(tri_vertices, tri_colors, merge_eps)
+    nat = native.weld(tri_vertices, tri_colors, merge_eps,
+                      exact=(mode == "exact"))
     if nat is not None:
         verts, colors, faces = nat
         return Mesh(verts, faces, colors)
+    if mode == "exact":
+        return _weld_exact_numpy(tri_vertices, tri_colors, merge_eps)
     keys = np.round(tri_vertices / merge_eps).astype(np.int64)
     uniq, first_idx, inverse = np.unique(
         keys, axis=0, return_index=True, return_inverse=True
@@ -524,6 +535,38 @@ def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None, merge_eps
         sorted_f = np.sort(faces, axis=1)
         _, keep = np.unique(sorted_f, axis=0, return_index=True)
         faces = faces[np.sort(keep)]
+    return Mesh(vertices, faces, colors)
+
+
+def _weld_exact_numpy(tri_vertices, tri_colors, merge_eps) -> Mesh:
+    """Pure-python fallback for the exact-NN weld mode (slow; the native
+    library is the intended path — this exists so tests/semantics don't
+    depend on a toolchain)."""
+    inv = 1.0 / merge_eps
+    eps2 = merge_eps * merge_eps
+    grid: dict[tuple, list[int]] = {}
+    rep: list[int] = []
+    local = np.empty(len(tri_vertices), np.int64)
+    for i, p in enumerate(tri_vertices):
+        c = tuple(np.round(p * inv).astype(np.int64))
+        best, best_d2 = -1, eps2
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    for v in grid.get((c[0] + dx, c[1] + dy, c[2] + dz), ()):
+                        d2 = float(((p - tri_vertices[rep[v]]) ** 2).sum())
+                        if d2 <= best_d2:
+                            best, best_d2 = v, d2
+        if best >= 0:
+            local[i] = best
+        else:
+            local[i] = len(rep)
+            grid.setdefault(c, []).append(len(rep))
+            rep.append(i)
+    rep_a = np.asarray(rep)
+    vertices = tri_vertices[rep_a]
+    colors = None if tri_colors is None else tri_colors[rep_a]
+    faces = _dedup_faces(local.reshape(-1, 3))
     return Mesh(vertices, faces, colors)
 
 

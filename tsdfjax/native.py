@@ -56,6 +56,8 @@ def get_lib():
     lib.tj_weld.restype = ctypes.c_int
     lib.tj_weld.argtypes = [f32p, f32p, ctypes.c_int64, ctypes.c_float,
                             f32p, f32p, i64p, i64p, i64p]
+    lib.tj_weld_exact.restype = ctypes.c_int
+    lib.tj_weld_exact.argtypes = lib.tj_weld.argtypes
     lib.tj_vertex_normals.restype = ctypes.c_int
     lib.tj_vertex_normals.argtypes = [f32p, ctypes.c_int64, i64p, ctypes.c_int64, f32p]
     lib.tj_write_obj.restype = ctypes.c_int
@@ -73,9 +75,13 @@ def _ip(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-def weld(tri_verts: np.ndarray, tri_colors: np.ndarray | None, eps: float):
+def weld(tri_verts: np.ndarray, tri_colors: np.ndarray | None, eps: float,
+         exact: bool = False):
     """Native weld; returns (verts, colors|None, faces) or None if the
-    library is unavailable."""
+    library is unavailable. `exact=True` uses the reference's exact-NN
+    mode (mergeCloseVertices approx=false, meshData.cpp:239-262): merge
+    into the nearest kept vertex within true eps distance over the 27
+    neighboring grid cells — single-threaded, like the reference's."""
     lib = get_lib()
     if lib is None:
         return None
@@ -91,7 +97,8 @@ def weld(tri_verts: np.ndarray, tri_colors: np.ndarray | None, eps: float):
     out_f = np.empty((ntri, 3), np.int64)
     nv = np.zeros(1, np.int64)
     nf = np.zeros(1, np.int64)
-    rc = lib.tj_weld(
+    fn = lib.tj_weld_exact if exact else lib.tj_weld
+    rc = fn(
         _fp(tv), _fp(tc) if tc is not None else None, ntri,
         ctypes.c_float(eps), _fp(out_v),
         _fp(out_c) if tc is not None else None, _ip(out_f), _ip(nv), _ip(nf),
