@@ -52,9 +52,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="keyframe interval in frames (the reference hardcodes "
                         "100, HybKinectfu.cpp:125-128)")
     p.add_argument("--posegraph-every", type=int, default=0,
-                   help="every N frames, optimize the keyframe pose graph "
-                        "(odometry chain + ICP loop closures) and apply the "
-                        "last-node drift correction to the live pose "
+                   help="optimize the keyframe pose graph (odometry chain + "
+                        "ICP loop closures) at the first KEYFRAME at least N "
+                        "frames after the previous optimization; corrections "
+                        "beyond the TSDF truncation band re-fuse the stored "
+                        "keyframes into a consistent map and pull the live "
+                        "pose; the recorded trajectory is bent onto the "
+                        "final optimized graph by odometry composition "
                         "(0 disables; SURVEY.md §5 long-context analog)")
     p.add_argument("--checkpoint", help="save checkpoint here at the end")
     p.add_argument("--resume", help="resume from this checkpoint")
