@@ -98,9 +98,27 @@ def _marching_cubes_impl(
     if iso_threshold is None:
         iso_threshold = 300.0 * cell  # MeshGeneratorMarchingcube.cpp:26-27
     if slab is None:
-        # bound the per-step cell count (~0.5M) so slab temporaries stay
-        # small even at 512^3 (TPU tile padding inflates narrow axes)
-        slab = _pick_slab(n_cells_x, target=max(1, (1 << 19) // (n_cells * n_cells)))
+        # Bound the per-step cell count (~2M) so slab temporaries stay
+        # small even at 512^3, while keeping the SEQUENTIAL scan-step
+        # count low: res-1 is usually odd with awkward divisors (511 =
+        # 7*73 — the old 0.5M-cell target forced slab=1, i.e. 511 scan
+        # steps whose per-step overhead alone cost ~3 s at 512^3). When
+        # no divisor reaches half the target, pad x with never-observed
+        # slices (weight 0 -> case 0 -> no triangles, no duplicates) so
+        # the target slab divides exactly.
+        target = min(max(1, (1 << 21) // (n_cells * n_cells)), n_cells_x)
+        slab = _pick_slab(n_cells_x, target=target)
+        if slab < (target + 1) // 2:
+            slab = target
+            n_pad = (-n_cells_x) % slab
+            if n_pad:
+                pad_x = [(0, n_pad)] + [(0, 0)] * (tsdf.ndim - 1)
+                tsdf = jnp.pad(tsdf, pad_x)
+                weight = jnp.pad(weight, pad_x)
+                color = jnp.pad(
+                    color, [(0, n_pad)] + [(0, 0)] * (color.ndim - 1)
+                )
+                n_cells_x += n_pad
     assert n_cells_x % slab == 0, "slab must divide the x cell extent"
     n_slabs = n_cells_x // slab
 
