@@ -98,15 +98,20 @@ def _marching_cubes_impl(
     if iso_threshold is None:
         iso_threshold = 300.0 * cell  # MeshGeneratorMarchingcube.cpp:26-27
     if slab is None:
-        # Bound the per-step cell count (~2M) so slab temporaries stay
-        # small even at 512^3, while keeping the SEQUENTIAL scan-step
-        # count low: res-1 is usually odd with awkward divisors (511 =
-        # 7*73 — the old 0.5M-cell target forced slab=1, i.e. 511 scan
-        # steps whose per-step overhead alone cost ~3 s at 512^3). When
-        # no divisor reaches half the target, pad x with never-observed
-        # slices (weight 0 -> case 0 -> no triangles, no duplicates) so
-        # the target slab divides exactly.
-        target = min(max(1, (1 << 21) // (n_cells * n_cells)), n_cells_x)
+        # Bound the per-step cell count so slab temporaries stay small,
+        # while keeping the SEQUENTIAL scan-step count low: res-1 is
+        # usually odd with awkward divisors (511 = 7*73 — a 0.5M-cell
+        # target forced slab=1, i.e. 511 scan steps whose per-step
+        # overhead alone cost ~3 s at 512^3). When no divisor reaches
+        # half the target, pad x with never-observed slices (weight 0 ->
+        # case 0 -> no triangles, no duplicates) so the target slab
+        # divides exactly. The target also keeps the EXPECTED surface
+        # cells per step under the ce_small branch budget: surface
+        # density falls ~1/res, so 512^3 affords 2M-cell steps (measured
+        # 1.67 s extract, small branch holding at ~7.8k cells/step)
+        # while 256^3 wants ~0.4M (measured 1.6 s at slab 5).
+        tbits = 21 if n_cells >= 511 else 19
+        target = min(max(1, (1 << tbits) // (n_cells * n_cells)), n_cells_x)
         slab = _pick_slab(n_cells_x, target=target)
         if slab < (target + 1) // 2:
             slab = target
@@ -147,6 +152,9 @@ def _marching_cubes_impl(
     # surface) takes the (res-1)^2-cell branch.
     m_cells = slab * n_cells * n_cells
     ce_big = m_cells  # the big branch compacts losslessly over all cells
+    # 8192 is a measured TPU sweet spot: raising it with the slab size
+    # (e.g. m_cells/32) made the small-branch emit itself fall off a
+    # scatter/gather cliff (19 s at 256^3 vs 1.6 s)
     ce_small = min(8192, ce_big)
     tc_big = ce_big * MAX_TRIS_PER_CELL
 
