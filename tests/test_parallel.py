@@ -202,6 +202,42 @@ class TestShardedFastMatchesDenseFast:
         mc_s = np.asarray(shard.state.model_color)
         np.testing.assert_allclose(mc_s, mc_d, atol=1.0)
 
+    def test_reintegrate_matches_dense(self, mesh8):
+        """engine.reintegrate (map re-fusion after a loop-closure
+        correction) on the sharded engine must rebuild the same volume
+        as the dense engine given the same keyframes."""
+        from tsdfjax.keyframes import Keyframe
+
+        cfg = par_config(fast_ops=True)
+        dense, shard, _, _ = run_both(cfg, "file", mesh8, n_frames=3)
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = fly_through(cfg, 3, arc=0.1)
+        kfs = [
+            Keyframe(frame_id=i, timestamp=i / 30.0,
+                     pose=np.asarray(p, np.float32),
+                     depth_m=np.asarray(
+                         syn.render_depth(p, cfg.depth_camera, scene)),
+                     rgb=None)
+            for i, p in enumerate(poses)
+        ]
+        nd = dense.reintegrate(kfs)
+        ns = shard.reintegrate(kfs)
+        assert nd == ns == 3
+        np.testing.assert_allclose(
+            np.asarray(shard.state.volume.tsdf),
+            np.asarray(dense.state.volume.tsdf), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(shard.state.pose), np.asarray(dense.state.pose),
+            atol=1e-6,
+        )
+        # model maps refresh from the last keyframe's pose on both
+        mv_d = np.asarray(dense.state.model_vertices)
+        mv_s = np.asarray(shard.state.model_vertices)
+        hit_d = np.any(mv_d != 0, axis=-1)
+        hit_s = np.any(mv_s != 0, axis=-1)
+        assert (hit_d == hit_s).mean() > 0.999
+
     def test_sdf_sweep_mode_poses_match(self, mesh8):
         """Sharded gather-free sweep SDF tracker (sdf_track_sweep_sharded,
         k-band decomposition + psum'd normal equations) vs the dense
