@@ -300,7 +300,11 @@ int tj_weld(const float* tri_verts, const float* tri_colors, int64_t ntri,
 // neighboring its quantized cell — unlike the approx mode, pairs within
 // eps that straddle a cell boundary DO merge. First-encounter ordering
 // is inherently sequential (the kept set grows as corners stream), so
-// this path is single-threaded, like the reference's.
+// this path is single-threaded, like the reference's. Nearest-match
+// variant: the reference's hasNearestNeighbor returns the FIRST kept
+// vertex found within eps (strict <) in cell-scan order, while this
+// picks the true nearest with d2 <= eps^2, so merge assignments can
+// differ in multi-candidate or exact-eps tie cases (same semantics).
 int tj_weld_exact(const float* tri_verts, const float* tri_colors,
                   int64_t ntri, float eps, float* out_verts,
                   float* out_colors, int64_t* out_faces, int64_t* out_nv,

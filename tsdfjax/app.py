@@ -74,7 +74,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--device-weld", choices=["auto", "on", "off"],
                    default="auto",
                    help="weld mesh vertices ON DEVICE and transfer only the "
-                        "indexed mesh (auto: on for TPU backends, where the "
+                        "indexed mesh (auto: on for any non-CPU backend, "
+                        "where the "
                         "triangle-soup D2H dominates extraction time; off "
                         "keeps the bit-stable host weld)")
     p.add_argument("--depth-factor", type=float, default=5000.0)
@@ -283,6 +284,14 @@ def main(argv=None) -> int:
                         )
                     if estimated and estimated[-1][0] == ts:
                         estimated[-1] = (ts, corrected.copy())
+                    if len(kfman) >= kfman.max_keyframes:
+                        print(
+                            f"frame {frame_id}: WARNING keyframe deque "
+                            f"saturated ({kfman.max_keyframes}) — the "
+                            "re-fused map only covers the kept keyframes; "
+                            "evicted regions are dropped (raise "
+                            "max_keyframes for long sequences)",
+                            file=sys.stderr)
                     n_refused = engine.reintegrate(
                         list(kfman), live_pose=corrected
                     )

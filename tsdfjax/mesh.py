@@ -523,6 +523,9 @@ def weld_mesh(tri_vertices: np.ndarray, tri_colors: np.ndarray | None,
     mode='exact': the reference's approx=false mode — merge into the
     NEAREST kept vertex within true eps distance, searched over the 27
     neighboring cells, so pairs straddling a cell boundary also merge.
+    (Nearest-match variant: the reference takes the FIRST kept vertex
+    within eps, strict <, in cell-scan order, so assignments can differ
+    in multi-candidate / exact-eps tie cases — same semantics otherwise.)
 
     Uses the native C++ path (tsdfjax.native / native/meshops.cpp) when
     available — ~10x faster than the NumPy fallback at reference mesh

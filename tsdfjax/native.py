@@ -81,7 +81,10 @@ def weld(tri_verts: np.ndarray, tri_colors: np.ndarray | None, eps: float,
     library is unavailable. `exact=True` uses the reference's exact-NN
     mode (mergeCloseVertices approx=false, meshData.cpp:239-262): merge
     into the nearest kept vertex within true eps distance over the 27
-    neighboring grid cells — single-threaded, like the reference's."""
+    neighboring grid cells — single-threaded, like the reference's.
+    Same semantics, nearest-match variant: the reference takes the FIRST
+    kept vertex found within eps (strict <) in cell-scan order, so merge
+    assignments can differ in multi-candidate or exact-eps tie cases."""
     lib = get_lib()
     if lib is None:
         return None

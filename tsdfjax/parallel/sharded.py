@@ -123,9 +123,9 @@ class ShardedFusion:
         self.mode = mode
         self.with_color = cfg.switches.use_color
         # MXU shear-warp integrate/raycast under sharding (default: follow
-        # the config, like the dense engine). The SDF tracker keeps the
-        # exact halo-sampled kernel either way (its 13-sample loop reads
-        # arbitrary volume points, which the sweep does not cover).
+        # the config, like the dense engine). fast_ops also selects the
+        # gather-free sdf_track_sweep_sharded tracker; only the exact path
+        # uses the halo-sampled 13-point kernel.
         self.fast_ops = cfg.fast_ops if fast_ops is None else fast_ops
         self.n = self.mesh.devices.size
         if cfg.volume.resolution % self.n:

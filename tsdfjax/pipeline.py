@@ -260,6 +260,15 @@ class FusionEngine:
         IS the corrected live pose. Returns the number of re-fused
         keyframes. `live_pose` overrides the pose the state keeps
         afterwards (defaults to the last keyframe's pose).
+
+        COVERAGE LIMIT: the rebuilt map holds only what the stored
+        keyframe depths saw. The keyframe deque is bounded
+        (KeyframeManager max_keyframes, default 50 at every-100 spacing
+        = 5000 frames of coverage); once it saturates, evicted regions
+        and all non-keyframe observations are dropped by the rebuild.
+        The caller (app.py) warns when re-fusing from a saturated deque;
+        raise max_keyframes for long sequences if full coverage after a
+        late loop closure matters.
         """
         kfs = [kf for kf in keyframes if kf.depth_m is not None]
         if not kfs:
