@@ -54,6 +54,7 @@ tsdfjax.raycast.raycast), all tested at tolerance:
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -65,8 +66,12 @@ from tsdfjax.volume import TsdfVolume
 
 Array = jnp.ndarray
 
-RAYCAST_BSZ = 4  # slices per compositing scan step (tuned on v5e; 8 and 1 are slower)
-INTEGRATE_BSZ = 4  # slices per projection scan step (tuned on v5e at 256^3 and 512^3)
+# slices per compositing / projection scan step (tuned on v5e round 5:
+# 8 beats 4 by ~15-20% on both ops at 256^3 with the fori-loop band
+# clip; 16 regresses — VMEM pressure. Env overrides are a perf-tuning
+# escape hatch for other volume scales)
+RAYCAST_BSZ = int(os.environ.get("TSDFJAX_RAYCAST_BSZ", "8"))
+INTEGRATE_BSZ = int(os.environ.get("TSDFJAX_INTEGRATE_BSZ", "8"))
 # Max k-sweep sample spacing in voxels. A stride-S sweep can only step
 # over a +/- crossing if the TSDF truncation band is narrower than S
 # voxels, so the actual stride is derived per config at trace time by
@@ -362,9 +367,40 @@ def project_image_to_volume(
 
     ii = i0 + jnp.arange(ni, dtype=jnp.float32)
     jj = jnp.arange(res, dtype=jnp.float32)
-    bsz = INTEGRATE_BSZ if nk % INTEGRATE_BSZ == 0 else 1  # slices per scan step
+    bsz = INTEGRATE_BSZ if nk % INTEGRATE_BSZ == 0 else 1  # slices per loop step
+    nb = nk // bsz
 
-    def body(carry, kb):
+    # ---- frustum clip (EXACT): slices whose q-grid footprint misses
+    # [0, Qh-1] x [0, Qw-1] (or |gamma| < 1) resample to all zeros, so
+    # the loop only visits the contiguous live block band. The frustum
+    # is convex, so the live k interval is contiguous; footprint windows
+    # come from the affine rows/cols endpoints. Typical orbit poses clip
+    # 30-60% of the blocks.
+    k_all = (k0 + jnp.arange(nk)).astype(jnp.float32)
+    gamma_all = k_all + geom.kappa
+    usable_all = jnp.abs(gamma_all) >= 1.0
+    gsafe_all = jnp.where(usable_all, gamma_all, 1.0)
+    r_a = (ii[0] + geom.alpha) / gsafe_all
+    r_b = (ii[-1] + geom.alpha) / gsafe_all
+    c_a = (jj[0] + geom.beta) / gsafe_all
+    c_b = (jj[-1] + geom.beta) / gsafe_all
+    r_lo = (jnp.minimum(r_a, r_b) - q1_0) * q1_s
+    r_hi = (jnp.maximum(r_a, r_b) - q1_0) * q1_s
+    c_lo = (jnp.minimum(c_a, c_b) - q2_0) * q2_s
+    c_hi = (jnp.maximum(c_a, c_b) - q2_0) * q2_s
+    # +-1 margin: 'linear' mode has partial edge weights one sample out
+    live = usable_all & (
+        (r_hi >= -1.0) & (r_lo <= qh + 0.0)
+        & (c_hi >= -1.0) & (c_lo <= qw + 0.0)
+    )
+    live_b = jnp.any(live.reshape(nb, bsz), axis=1)
+    any_live = jnp.any(live_b)
+    blk_lo = jnp.where(any_live, jnp.argmax(live_b), 0).astype(jnp.int32)
+    blk_hi = jnp.where(
+        any_live, nb - jnp.argmax(live_b[::-1]), 0
+    ).astype(jnp.int32)
+
+    def compute_block(kb):
         gamma = kb.astype(jnp.float32) + geom.kappa  # (B,)
         usable = jnp.abs(gamma) >= 1.0
         gsafe = jnp.where(usable, gamma, 1.0)
@@ -373,13 +409,26 @@ def project_image_to_volume(
         rows = (q1 - q1_0) * q1_s
         cols = (q2 - q2_0) * q2_s
         out = resample_slices_batched(warped, rows, cols, mode, dtype)  # (B, C, ni, R)
-        out = jnp.where(usable[:, None, None, None], out, 0.0)
-        return carry, out
+        return jnp.where(usable[:, None, None, None], out, 0.0)
 
-    ks = k0 + jnp.arange(nk).reshape(nk // bsz, bsz)
-    _, vol = jax.lax.scan(body, jnp.array(0), ks, unroll=1)
-    # vol: (nk/B, B, C, ni, R) -> (C, nk, ni, R)
-    return jnp.moveaxis(vol.reshape(nk, -1, ni, res), 1, 0)
+    # Output in `dtype`: with bf16 the matmul operands were already bf16
+    # (src.astype in resample_slices_batched) and 'nearest' selection is
+    # a single 1.0 x value product, so the f32 accumulator holds exactly
+    # bf16-representable values — the cast is value-preserving while
+    # halving the materialized channel traffic.
+    # The 0.0 * (...) term stamps the shard-varying axes (k0 / i0) onto
+    # the init so the fori_loop carry matches the body under shard_map.
+    vary = 0.0 * (k_all[0] + ii[0])
+    acc0 = (jnp.zeros((c, nk, ni, res), jnp.float32) + vary).astype(dtype)
+
+    def body(b, acc):
+        kb = k0 + b * bsz + jnp.arange(bsz)
+        out = compute_block(kb).astype(dtype)  # (B, C, ni, R)
+        return jax.lax.dynamic_update_slice(
+            acc, jnp.swapaxes(out, 0, 1), (0, b * bsz, 0, 0)
+        )
+
+    return jax.lax.fori_loop(blk_lo, blk_hi, body, acc0)
 
 
 # ---------------------------------------------------------------------------
@@ -462,10 +511,12 @@ def _integrate_axis(
         img, pose, depth_cam, vol_cfg, axis, mode="nearest", dtype=jnp.bfloat16,
         k0=k0, nk=nk, i0=i0, ni=ni,
     )
-    # un-permute the (cheap, bf16) projected channels to native layout
+    # un-permute the (cheap, bf16) projected channels to native layout;
+    # the hi/lo depth halves MUST be summed in f32 (a bf16 add would
+    # round the lo half away)
     volch = jnp.transpose(volch, (0, 1 + inv[0], 1 + inv[1], 1 + inv[2]))
-    d_vol = volch[0] + volch[1]
-    nz_vol = volch[2] if rgb is not None else None
+    d_vol = volch[0].astype(jnp.float32) + volch[1].astype(jnp.float32)
+    nz_vol = volch[2].astype(jnp.float32) if rgb is not None else None
 
     # camera z per voxel: affine in (k, i, j); iotas laid along the
     # NATIVE axes carrying each sweep coordinate
@@ -492,7 +543,9 @@ def _integrate_axis(
 
     if rgb is not None:
         # rgb 0..255 integers are exact in bf16 (8 significand bits)
-        pix_color = jnp.stack([volch[3], volch[4], volch[5]], axis=-1)
+        pix_color = jnp.stack(
+            [volch[3], volch[4], volch[5]], axis=-1
+        ).astype(jnp.float32)
         if color_angle_weight:
             w_color = jnp.minimum(1.0, jnp.abs(nz_vol) / 0.75) * 2.0
         else:
@@ -756,6 +809,26 @@ def _raycast_axis(
     # slip through, _raycast_stride). Subsample via reshape-pick (strided
     # slices are slow).
     n_k = n_own // stride
+    # Per-sample-slice occupancy for the dense paths: a sampled slice
+    # whose weight is all zero holds tsdf == 0 and validity == 0, which
+    # resamples to exact zeros; zeros produce no crossings (strict sign
+    # tests), so compositing such a block only resets prev to zeros.
+    # The scan body cond-skips those blocks and zeroes prev directly —
+    # bitwise-identical to the dense result, at ~no cost per empty block.
+    occ = None
+    if axis_name is None and halo == 0 and native:
+        if stride > 1:
+            shp = weight_p.shape
+            grouped = weight_p.reshape(
+                shp[:axis] + (n_k, stride) + shp[axis + 1 :]
+            )
+            w_samp = jax.lax.index_in_dim(grouped, 0, axis=axis + 1,
+                                          keepdims=False)
+            red = tuple(ax for ax in range(3) if ax != axis)
+            occ = jnp.any(w_samp > 0, axis=red)  # (n_k,) along `axis`
+        else:
+            red = tuple(ax for ax in range(3) if ax != axis)
+            occ = jnp.any(weight_p > 0, axis=red)
     if native and halo == 0 and stride > 1:
         # dense fast path: subsample + erode in native layout, permuting
         # only the sampled band (see _subsample_sweep_native)
@@ -938,13 +1011,35 @@ def _raycast_axis(
             st_new["ch_star"] = jnp.where(accept[None], ch_star_new, st["ch_star"])
         return st_new
 
-    def body(st, m0):
+    def live_block(st, m0):
         block, gammas = sample_block(m0)
         for b in range(bsz):
             st = composite_step(st, block[b], k0 + (m0 + b) * stride, gammas[b])
-        return st, None
+        return st
 
-    st, _ = jax.lax.scan(body, init, jnp.arange(0, n_k, bsz), unroll=1)
+    if occ is not None:
+        # Occupancy clip (EXACT): compositing an all-unobserved block
+        # (tsdf == 0, validity == 0 everywhere) produces no crossings —
+        # it only resets prev to zeros, which is already the init — so
+        # the loop need only cover [first, last] occupied sample blocks.
+        # Interior unobserved blocks are still composited (cheap zeros);
+        # the win is the empty prefix/suffix of the sweep range.
+        nb = n_k // bsz
+        occ_b = jnp.any(occ.reshape(nb, bsz), axis=1)
+        any_occ = jnp.any(occ_b)
+        blk_lo = jnp.where(any_occ, jnp.argmax(occ_b), 0).astype(jnp.int32)
+        blk_hi = jnp.where(
+            any_occ, nb - jnp.argmax(occ_b[::-1]), 0
+        ).astype(jnp.int32)
+        st = jax.lax.fori_loop(
+            blk_lo, blk_hi, lambda b, st: live_block(st, b * bsz), init
+        )
+    else:
+
+        def body(st, m0):
+            return live_block(st, m0), None
+
+        st, _ = jax.lax.scan(body, init, jnp.arange(0, n_k, bsz), unroll=1)
 
     if axis_name is not None:
         # Merge per-shard candidates: the first crossing along a ray is
