@@ -129,7 +129,8 @@ def bench_headline(n_warm=3, n_meas=20):
     # section); strict-parity defaults are subsample 1 / eps 0
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
     )
     log("headline: dense ICP 256^3 depth-only")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
@@ -144,7 +145,8 @@ def bench_color(n_warm=3, n_meas=15):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=True),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
     )
     log("color: dense ICP 256^3 rgb fusion + color raycast")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas, with_rgb=True)
@@ -191,7 +193,8 @@ def bench_sharded_n1(n_warm=3, n_meas=15):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
     )
     log("sharded_n1: ShardedFusion on a 1-device mesh (shard_map overhead)")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
@@ -206,7 +209,8 @@ def bench_exact(n_warm=2, n_meas=4):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
         fast_ops=False,
     )
     log("exact: reference-semantics gather ops (the fast path's baseline)")
@@ -310,7 +314,8 @@ def bench_stages(n_warm=3, n_meas=15):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
     )
     cam = cfg.depth_camera
     pre = cfg.preprocess

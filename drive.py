@@ -20,7 +20,8 @@ from tsdfjax import synthetic as syn
 # pathologically slow XLA compile on the axon TPU (~200s vs 16s)
 cfg = AppConfig(
     switches=SwitchConfig(use_color=False),
-    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
 )
 cam = cfg.depth_camera
 scene = syn.default_scene(cfg.volume.size_m)

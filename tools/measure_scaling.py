@@ -61,7 +61,8 @@ def small_config():
         rgb_camera=CameraIntrinsics(width=160, height=120, fx=131.25,
                                     fy=131.25, cx=79.5, cy=59.5),
         volume=VolumeConfig(resolution=128, size_m=2.0, max_weight=128.0),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
     )
 
 

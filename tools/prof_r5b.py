@@ -18,7 +18,8 @@ from tsdfjax.ops.sweep import fast_integrate, fast_raycast
 
 cfg = AppConfig(
     switches=SwitchConfig(use_color=False),
-    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
 )
 cam = cfg.depth_camera
 pre = cfg.preprocess

@@ -22,7 +22,8 @@ from tsdfjax.geometry import se3_inverse
 
 cfg = AppConfig(
     switches=SwitchConfig(use_color=False),
-    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
 )
 cam = cfg.depth_camera
 pre = cfg.preprocess

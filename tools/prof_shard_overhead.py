@@ -56,7 +56,8 @@ def main() -> int:
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                  coarse_assoc=True),
     )
     cam = cfg.depth_camera
     from tsdfjax import synthetic as syn

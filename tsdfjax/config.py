@@ -105,6 +105,16 @@ class IcpConfig:
     # solution matches the full schedule to float noise while typical
     # gentle motion converges in ~1/3 the iterations.
     converge_eps: float = 0.0
+    # associate finest-level source pixels into the HALF-RES model map
+    # (pyramid level 1) instead of the full-res one. XLA:TPU gathers
+    # from tables over ~300k rows fall off a measured cliff (~13 ns/idx
+    # vs ~2.5 at <=128k rows; tools/prof_r5f.py), making the level-0
+    # association gather the single most expensive ICP op. A +-1 px
+    # association shift slides the target along the surface, which the
+    # point-to-plane metric is first-order insensitive to. Opt-in via
+    # [tsdfjax] icp_coarse_assoc; strict parity keeps the reference's
+    # full-res lookup (CalPointToPlaneErrSolverParams.cu:17-60).
+    coarse_assoc: bool = False
 
     @property
     def iters_per_level(self) -> tuple[int, ...]:
@@ -296,6 +306,7 @@ def load_ini(path: str) -> AppConfig:
         # tracker settings (subsample 1, no early exit)
         source_subsample=_get(cp, "tsdfjax", "icp_source_subsample", 1, int),
         converge_eps=_get(cp, "tsdfjax", "icp_converge_eps", 0.0, float),
+        coarse_assoc=bool(_get(cp, "tsdfjax", "icp_coarse_assoc", 0, int)),
     )
     sdf = SdfTrackerConfig(
         max_iters=_get(cp, "sdfTracker", "max_iter_nums", 6, int),

@@ -258,11 +258,21 @@ def resample_slices_batched_src(
 
 
 def _warp_image_to_q(
-    channels: Array, geom: SweepGeom, q_grid, mode: str = "nearest"
+    channels: Array, geom: SweepGeom, q_grid, mode: str = "nearest",
+    dtype=jnp.float32,
 ) -> Array:
     """channels (C, H, W) -> warped (C, Qh, Qw) with warped[:, gi, gj] =
     channels at pixel pi(W * (q1(gi), q2(gj), 1)). One per-pixel gather
-    (Qh*Qw elements), once per frame."""
+    (Qh*Qw elements), once per frame.
+
+    PERF NOTE (round 5, measured): leave the gather formulation alone.
+    XLA already sinks the downstream bf16 cast before this gather and
+    emits one bf16-pair-per-word gather (1.7 ms at 640x480/256^3).
+    Both "optimizations" tried made it slower: a manual bitcast-packed
+    1-D word gather hit the serial T(1024) path (3.0 ms) and an
+    explicit pre-gather astype(bf16) broke the fusion (integrate chain
+    4.1 -> 6.6 ms). The `dtype` param is accepted for signature
+    stability but intentionally unused here."""
     c, h, w = channels.shape
     q1_0, q1_s, q2_0, q2_s, qh, qw = q_grid
     gi = jnp.arange(qh, dtype=jnp.float32)
@@ -362,7 +372,7 @@ def project_image_to_volume(
     qh = _round8(int(h * q_oversample))
     qw = _round128(int(w * q_oversample))
     q_grid = _q_grid_for(geom, cam, res, qh, qw)
-    warped = _warp_image_to_q(channels, geom, q_grid, mode)
+    warped = _warp_image_to_q(channels, geom, q_grid, mode, dtype=dtype)
     q1_0, q1_s, q2_0, q2_s, _, _ = q_grid
 
     ii = i0 + jnp.arange(ni, dtype=jnp.float32)
@@ -1076,52 +1086,18 @@ def _raycast_axis(
             )
 
     hit = st["hit"] & st["out_ok"]
-    k_star = st["k_star"]
-    gamma_star = k_star + geom.kappa
-    i_star = q1[:, None] * gamma_star - geom.alpha
-    j_star = q2[None, :] * gamma_star - geom.beta
-    vert = (
-        (k_star[..., None] + 0.5) * geom.u_a
-        + (i_star[..., None] + 0.5) * geom.u_b
-        + (j_star[..., None] + 0.5) * geom.u_c
-    ) * cell  # (Qh, Qw, 3) world
-    # SDF gradient by chain rule from the swept parametrization
-    # (k, gi, gj) -> (k, i, j): i = q1(gi)*gamma - alpha (di/dgi =
-    # gamma/q1_s, di/dk = q1), so
-    #   psi_i = dS/dgi * q1_s / gamma,   psi_j = dS/dgj * q2_s / gamma,
-    #   psi_k = d(psi along ray)/dk - psi_i*q1 - psi_j*q2.
-    gsafe_star = jnp.where(jnp.abs(gamma_star) < 1e-3, 1.0, gamma_star)
-    psi_i = st["di_star"].astype(jnp.float32) * (q1_s / gsafe_star)
-    psi_j = st["dj_star"].astype(jnp.float32) * (q2_s / gsafe_star)
-    psi_k = (
-        st["rd_star"].astype(jnp.float32)
-        - psi_i * q1[:, None]
-        - psi_j * q2[None, :]
-    )
-    grad_world = (
-        psi_k[..., None] * geom.u_a
-        + psi_i[..., None] * geom.u_b
-        + psi_j[..., None] * geom.u_c
-    )
-    glen = jnp.linalg.norm(grad_world, axis=-1, keepdims=True)
-    normal = grad_world / jnp.maximum(glen, 1e-30)
-    hit = hit & (glen[..., 0] >= 1e-8)
 
-    vert = jnp.where(hit[..., None], vert, 0.0)
-    normal = jnp.where(hit[..., None], normal, 0.0)
-    if color_p is not None:
-        color_q = jnp.where(
-            hit[..., None],
-            jnp.stack(
-                [st["ch_star"][0], st["ch_star"][1], st["ch_star"][2]], axis=-1
-            ).astype(jnp.float32),
-            0.0,
-        )
-    else:
-        color_q = jnp.zeros((qh, qw, 3), jnp.float32)
-    z_q = jnp.where(hit, gamma_star * w2q, 0.0)
-
-    # ---- final per-pixel nearest lookup in q space (one packed gather)
+    # ---- final per-pixel nearest lookup in q space, SLIMMED (round 5):
+    # gather only the per-crossing scalars — k_star (f32) plus the
+    # already-bf16 di/dj/rd and the hit flag bitcast-packed two-per-f32
+    # word (3 words/sample vs the previous 11) — and reconstruct the
+    # vertex / normal / depth on each PIXEL's own ray afterwards. The
+    # TPU gather is the raycast's single most expensive op and its cost
+    # scales with gathered bytes (measured 1.42 -> ~0.45 ms at 640x480).
+    # Using the pixel's exact q (pq1, pq2) instead of the q-grid sample's
+    # (q1[gi], q2[gj]) also REMOVES the q-cell quantization the packed
+    # lookup used to bake into vertices/normals — strictly closer to the
+    # exact per-pixel raycast semantics.
     uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     vv = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     phom = jnp.stack([uu, vv, jnp.ones_like(uu)], axis=-1) @ geom.w_inv.T
@@ -1134,13 +1110,83 @@ def _raycast_axis(
     in_grid = (gi >= 0) & (gi < qh) & (gj >= 0) & (gj < qw)
     flat = jnp.clip(gi, 0, qh - 1) * qw + jnp.clip(gj, 0, qw - 1)
 
-    packed = jnp.concatenate(
-        [vert, normal, color_q, hit[..., None].astype(jnp.float32), z_q[..., None]],
+    halfpack = jnp.stack(
+        [
+            st["di_star"].astype(jnp.bfloat16),
+            st["dj_star"].astype(jnp.bfloat16),
+            st["rd_star"].astype(jnp.bfloat16),
+            hit.astype(jnp.bfloat16),
+        ],
         axis=-1,
-    ).reshape(qh * qw, -1)
+    ).reshape(qh, qw, 2, 2)
+    words = [st["k_star"][..., None],
+             jax.lax.bitcast_convert_type(halfpack, jnp.float32)]
+    if color_p is not None:
+        chpack = jnp.stack(
+            [
+                st["ch_star"][0].astype(jnp.bfloat16),
+                st["ch_star"][1].astype(jnp.bfloat16),
+                st["ch_star"][2].astype(jnp.bfloat16),
+                jnp.zeros((qh, qw), jnp.bfloat16),
+            ],
+            axis=-1,
+        ).reshape(qh, qw, 2, 2)
+        words.append(jax.lax.bitcast_convert_type(chpack, jnp.float32))
+    packed = jnp.concatenate(words, axis=-1).reshape(qh * qw, -1)
     px = packed[flat]
     px = jnp.where(in_grid[..., None], px, 0.0)
-    return px[..., 0:3], px[..., 3:6], px[..., 6:9], px[..., 9] > 0.5, px[..., 10]
+
+    k_p = px[..., 0]
+    b4 = jax.lax.bitcast_convert_type(px[..., 1:3], jnp.bfloat16)  # (H,W,2,2)
+    di_p = b4[..., 0, 0].astype(jnp.float32)
+    dj_p = b4[..., 0, 1].astype(jnp.float32)
+    rd_p = b4[..., 1, 0].astype(jnp.float32)
+    hit_p = (b4[..., 1, 1].astype(jnp.float32) > 0.5) & in_grid
+
+    gamma_p = k_p + geom.kappa
+    i_p = pq1 * gamma_p - geom.alpha
+    j_p = pq2 * gamma_p - geom.beta
+    vert = (
+        (k_p[..., None] + 0.5) * geom.u_a
+        + (i_p[..., None] + 0.5) * geom.u_b
+        + (j_p[..., None] + 0.5) * geom.u_c
+    ) * cell  # (H, W, 3) world, on the pixel's ray
+    # SDF gradient by chain rule from the swept parametrization
+    # (k, gi, gj) -> (k, i, j): i = q1(gi)*gamma - alpha (di/dgi =
+    # gamma/q1_s, di/dk = q1), so
+    #   psi_i = dS/dgi * q1_s / gamma,   psi_j = dS/dgj * q2_s / gamma,
+    #   psi_k = d(psi along ray)/dk - psi_i*q1 - psi_j*q2.
+    gsafe_p = jnp.where(jnp.abs(gamma_p) < 1e-3, 1.0, gamma_p)
+    psi_i = di_p * (q1_s / gsafe_p)
+    psi_j = dj_p * (q2_s / gsafe_p)
+    psi_k = rd_p - psi_i * pq1 - psi_j * pq2
+    grad_world = (
+        psi_k[..., None] * geom.u_a
+        + psi_i[..., None] * geom.u_b
+        + psi_j[..., None] * geom.u_c
+    )
+    glen = jnp.linalg.norm(grad_world, axis=-1, keepdims=True)
+    normal = grad_world / jnp.maximum(glen, 1e-30)
+    hit_p = hit_p & (glen[..., 0] >= 1e-8)
+
+    # per-pixel camera depth: z = gamma * w2(pixel q)
+    w2_pix = geom.w[2, 0] * pq1 + geom.w[2, 1] * pq2 + geom.w[2, 2]
+    z_pix = jnp.where(hit_p, gamma_p * w2_pix, 0.0)
+
+    vert = jnp.where(hit_p[..., None], vert, 0.0)
+    normal = jnp.where(hit_p[..., None], normal, 0.0)
+    if color_p is not None:
+        cb = jax.lax.bitcast_convert_type(px[..., 3:5], jnp.bfloat16)  # (H,W,2,2)
+        color_pix = jnp.where(
+            hit_p[..., None],
+            jnp.stack(
+                [cb[..., 0, 0], cb[..., 0, 1], cb[..., 1, 0]], axis=-1
+            ).astype(jnp.float32),
+            0.0,
+        )
+    else:
+        color_pix = jnp.zeros((h, w, 3), jnp.float32)
+    return vert, normal, color_pix, hit_p, z_pix
 
 
 def fast_raycast(

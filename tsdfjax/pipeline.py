@@ -163,25 +163,24 @@ def process_frame(
     sdf_depth = filtered if cfg.sdf_tracker.use_filtered_depth else trunced
     pose, ok, residual, corr = _track(cfg, mode, state, sdf_depth, verts, normals, ext_pose)
 
-    def do_integrate(vol):
-        if cfg.fast_ops:
-            return fast_integrate(
-                vol, trunced, normals, rgb if with_color else None, pose,
-                cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
-                color_angle_weight=cfg.switches.color_angle_weight,
-            )
-        return V.integrate(
-            vol, trunced, normals, rgb if with_color else None, pose,
-            cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
+    # Skip-on-lost without lax.cond: a zero depth map makes integrate a
+    # bitwise no-op (every update requires a valid nonzero depth) and
+    # count == 0, while a cond's 256^3 branch boundaries forced volume
+    # layout copies (~0.4-0.6 ms) on EVERY frame. The rare lost frame
+    # pays a wasted integrate pass instead — the right trade.
+    trunced_eff = jnp.where(ok, trunced, 0.0)
+    if cfg.fast_ops:
+        vol, count = fast_integrate(
+            state.volume, trunced_eff, normals, rgb if with_color else None,
+            pose, cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
             color_angle_weight=cfg.switches.color_angle_weight,
         )
-
-    vol, count = jax.lax.cond(
-        ok,
-        do_integrate,
-        lambda vol: (vol, jnp.array(0, jnp.int32)),
-        state.volume,
-    )
+    else:
+        vol, count = V.integrate(
+            state.volume, trunced_eff, normals, rgb if with_color else None,
+            pose, cfg.depth_camera, cfg.rgb_camera, cfg.volume, cfg.integrate,
+            color_angle_weight=cfg.switches.color_angle_weight,
+        )
 
     if cfg.fast_ops:
         rc = fast_raycast(

@@ -48,6 +48,19 @@ class IcpResult(NamedTuple):
     num_corr: Array  # () i32 — correspondences at the last iteration
 
 
+def pack_model_zn(model_v: Array, model_n: Array, last_transform_inv: Array) -> Array:
+    """Compact (H, W, 4) association table [z_cam | n_world] for
+    icp_rows' gather: the TPU gather cost scales with table bytes, and
+    the world vertex is recoverable from the looked-up pixel's ray and
+    its camera depth (fast_raycast emits vertices on exact pixel rays,
+    so the reconstruction is f32-rounding-exact at level 0). Invalid
+    pixels keep the zero normal (the existing validity marker)."""
+    v_cp = transform_points(last_transform_inv, model_v)
+    valid_m = jnp.any(model_n != 0.0, axis=-1)
+    mz = jnp.where(valid_m, v_cp[..., 2], 0.0)
+    return jnp.concatenate([mz[..., None], model_n], axis=-1)
+
+
 def icp_rows(
     new_v: Array,
     new_n: Array,
@@ -58,6 +71,8 @@ def icp_rows(
     last_transform_inv: Array,
     dist_thresh: float,
     norm_sin_thresh: float,
+    model_zn: Array | None = None,
+    model_pose: Array | None = None,
 ) -> Array:
     """Per-pixel 7-vector rows (zeros for rejected pixels): (H, W, 7).
 
@@ -65,6 +80,11 @@ def icp_rows(
     17-60): invalid input normal; projection outside the image; invalid
     model normal at the looked-up pixel; ||p - q|| > dist_thresh;
     ||n_t x n_i|| > norm_sin_thresh.
+
+    With `model_zn` (+`model_pose`, the inverse of last_transform_inv)
+    the gather reads the compact 4-wide [z|n] table (pack_model_zn) and
+    reconstructs the world vertex p on the looked-up pixel's ray — 1.5x
+    fewer gathered bytes, which is the dominant per-iteration cost.
     """
     # bounds/indexing use the MODEL map's shape: the source maps may be a
     # row band of the image under sharding while the target stays full
@@ -80,14 +100,27 @@ def icp_rows(
     in_img = (u >= 0) & (u < w) & (vv >= 0) & (vv < h)
 
     flat = jnp.clip(vv, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
-    # single packed 6-wide gather: TPU gather cost is per-index, so one
-    # (vertex|normal) slice fetch halves the association cost
-    packed = jnp.concatenate([model_v, model_n], axis=-1).reshape(-1, 6)[flat]
-    p = packed[..., 0:3]  # target vertex, world
-    n_t = packed[..., 3:6]  # target normal, world
+    if model_zn is not None:
+        packed = model_zn.reshape(-1, 4)[flat]
+        mz = packed[..., 0]
+        n_t = packed[..., 1:4]
+        # target vertex on the looked-up pixel's camera ray at depth mz,
+        # mapped to world by the model camera pose
+        uf = (jnp.clip(u, 0, w - 1).astype(jnp.float32) - cam.cx) / cam.fx
+        vf = (jnp.clip(vv, 0, h - 1).astype(jnp.float32) - cam.cy) / cam.fy
+        p_cam = jnp.stack([uf * mz, vf * mz, mz], axis=-1)
+        p = transform_points(model_pose, p_cam)
+        target_valid = jnp.any(n_t != 0.0, axis=-1)
+        p = jnp.where(target_valid[..., None], p, 0.0)
+    else:
+        # single packed 6-wide gather: TPU gather cost is per-index, so
+        # one (vertex|normal) slice fetch halves the association cost
+        packed = jnp.concatenate([model_v, model_n], axis=-1).reshape(-1, 6)[flat]
+        p = packed[..., 0:3]  # target vertex, world
+        n_t = packed[..., 3:6]  # target normal, world
+        target_valid = jnp.any(n_t != 0.0, axis=-1)
 
     input_valid = jnp.any(new_n != 0.0, axis=-1)
-    target_valid = jnp.any(n_t != 0.0, axis=-1)
     delta = p - v_g
     dist = jnp.linalg.norm(delta, axis=-1)
     sin = jnp.linalg.norm(jnp.cross(n_t, n_g), axis=-1)
@@ -165,7 +198,8 @@ def icp_track(
     if reduce_fn is None:
         reduce_fn = lambda a: a
 
-    last_transform_inv = se3_inverse(pose if model_pose is None else model_pose)
+    mp = pose if model_pose is None else model_pose
+    last_transform_inv = se3_inverse(mp)
     iters = cfg.iters_per_level
 
     cur = pose
@@ -177,15 +211,38 @@ def icp_track(
         cam_l = cam.level(level)
         nv, nn = new_v_pyr[level], new_n_pyr[level]
         mv, mn = model_v_pyr[level], model_n_pyr[level]
-        if level == 0 and cfg.source_subsample > 1:
-            s = cfg.source_subsample
-            nv, nn = F.subsample_pick(nv, s), F.subsample_pick(nn, s)
+        # Level 0: the gather table is the full-res model map and the
+        # gather dominates the iteration (measured 1.9 ms vs 0.64 at the
+        # 4x-smaller level 1 — XLA:TPU gathers fall off a cliff past
+        # ~300k table rows, tools/prof_r5f.py). Two mitigations:
+        #  - compact [z|n] association table (pack_model_zn), built ONCE
+        #    per level outside the GN loop; the world vertex is
+        #    reconstructed on the looked-up pixel's ray (f32-exact at
+        #    level 0, where model vertices lie on exact pixel rays);
+        #  - cfg.coarse_assoc (fast configs): source rows come from the
+        #    ALREADY-BUILT averaged level-1 pyramid (subsample_pick's
+        #    strided reshape/slice costs ~1.4 ms/frame in layout copies
+        #    on TPU — the pyramid is free), and the association goes
+        #    into the HALF-RES model pyramid -> 76.8k-row table on the
+        #    fast gather path. +-1 px association slides the target
+        #    along the surface — first-order invisible to point-to-plane.
+        if level == 0 and cfg.coarse_assoc and cfg.pyramid_levels >= 2:
+            nv, nn = new_v_pyr[1], new_n_pyr[1]
+            mv, mn = model_v_pyr[1], model_n_pyr[1]
+            cam_a = cam.level(1)
+        else:
+            if level == 0 and cfg.source_subsample > 1:
+                s = cfg.source_subsample
+                nv, nn = F.subsample_pick(nv, s), F.subsample_pick(nn, s)
+            cam_a = cam_l
+        zn = pack_model_zn(mv, mn, last_transform_inv) if level == 0 else None
 
-        def body(carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_l=cam_l):
+        def body(carry, nv=nv, nn=nn, mv=mv, mn=mn, cam_a=cam_a, zn=zn):
             i, cur, ok, residual, num_corr, stop = carry
             rows, valid = icp_rows(
-                nv, nn, mv, mn, cam_l, cur, last_transform_inv,
+                nv, nn, mv, mn, cam_a, cur, last_transform_inv,
                 cfg.dist_thresh_m, cfg.normal_sin_thresh,
+                model_zn=zn, model_pose=mp if zn is not None else None,
             )
             a7 = reduce_fn(normal_equations(rows))
             delta, step_ok, x = solve_gn_step(a7, cfg.angle_shake_rad, cfg.dist_shake_m)
