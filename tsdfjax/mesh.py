@@ -292,20 +292,28 @@ def _marching_cubes_impl(
         out_c = jax.lax.dynamic_update_slice(out_c, rows_c, (0, offset))
         return out_v, out_c, n_tris, jnp.minimum(n_tris, tc)
 
-    # per-step triangle caps: the small branch can never drop (its cell
-    # count already fits); the big branch caps at 3 tris/cell averaged
-    # over ALL slab cells — far above any real surface density (a
-    # plane-parallel wall is 2/cell over one plane) — and anything beyond
-    # is dropped and counted exactly via the cumsum
+    # Per-step triangle cap: each 8192-cell chunk can emit at most
+    # ce_small * MAX_TRIS_PER_CELL rows, so a chunk never drops by
+    # construction; only the global max_triangles cap drops (counted).
     tc_small = ce_small * MAX_TRIS_PER_CELL
-    tc_big_cap = max(tc_small, 3 * ce_big)
 
-    # output padded by the largest write block: each step writes its full
-    # block at the running total; rows past the step's real count are
-    # zeros the NEXT step overwrites, and rows past max_triangles land in
-    # the pad (the reference's drop-at-capacity, config.ini:48)
-    out_v = jnp.zeros((9, max_triangles + tc_big_cap), jnp.float32)
-    out_c = jnp.zeros((9, max_triangles + tc_big_cap), jnp.float32)
+    # Output padded by one write block: each chunk writes its full block
+    # at the running total; rows past the chunk's real count are zeros
+    # the NEXT chunk overwrites, and rows past max_triangles land in the
+    # pad (the reference's drop-at-capacity, config.ini:48).
+    #
+    # STRUCTURE NOTE (round-5 perf): the previous empty/small/big
+    # lax.switch passed the (9, max+pad) output buffers through the
+    # branch boundary, and XLA COPIES cond/switch operands — measured
+    # 21.7 ms PER SLAB STEP at 512^3 (73 copies = 1.6 s, ~the entire
+    # extraction cost). Now every step unconditionally emits one
+    # 8192-cell chunk (an all-empty slab emits a zero block — the same
+    # cost as the old empty branch once the copies are gone), and slabs
+    # with more surface cells drain the remainder in a while_loop whose
+    # carry (unlike cond operands) aliases in place. Triangle order is
+    # identical to the old path: cell-major, chunks ascending.
+    out_v = jnp.zeros((9, max_triangles + tc_small), jnp.float32)
+    out_c = jnp.zeros((9, max_triangles + tc_small), jnp.float32)
     total0 = jnp.array(0, jnp.int32)
     dropped0 = jnp.array(0, jnp.int32)
     if axis_name is not None:
@@ -319,50 +327,60 @@ def _marching_cubes_impl(
         t_slab, case, valid, ccum = case_and_cumsum(x_start)
         n_valid = ccum[-1]
 
-        def do_empty(args):
-            out_v, out_c, total, dropped = args
-            return out_v, out_c, total, dropped
-
-        def do_small(args):
-            out_v, out_c, total, dropped = args
-            # few surface cells: binary search on the validity cumsum
+        def emit_chunk(out_v, out_c, total, dropped, base):
+            # surface cells [base, base+ce_small) by binary search on
+            # the validity cumsum
             csrc = jnp.searchsorted(
-                ccum, jnp.arange(ce_small, dtype=jnp.int32) + 1, side="left"
+                ccum, base + jnp.arange(ce_small, dtype=jnp.int32) + 1,
+                side="left",
             )
+            n_here = jnp.clip(n_valid - base, 0, ce_small)
             out_v, out_c, n_tris, written = emit(
                 out_v, out_c, total, x_start, t_slab, case, csrc,
-                n_valid, ce_small, tc_small,
+                n_here, ce_small, tc_small,
             )
             return out_v, out_c, total + written, dropped + n_tris - written
 
-        def do_big(args):
-            out_v, out_c, total, dropped = args
-            # many surface cells (e.g. a plane-parallel wall): one int32
-            # scatter compaction over all cells
-            dest = jnp.where(valid & (ccum - 1 < ce_big), ccum - 1, ce_big)
-            csrc = (
-                jnp.zeros(ce_big, jnp.int32)
-                .at[dest]
-                .set(jnp.arange(m_cells, dtype=jnp.int32), mode="drop")
-            )
-            n_kept = jnp.minimum(n_valid, ce_big)
-            out_v, out_c, n_tris, written = emit(
-                out_v, out_c, total, x_start, t_slab, case, csrc,
-                n_kept, ce_big, tc_big_cap,
-            )
-            # cells beyond ce_big are dropped; each had >= 1 triangle
-            return (out_v, out_c, total + written,
-                    dropped + (n_tris - written) + (n_valid - n_kept))
+        out_v, out_c, total, dropped = emit_chunk(
+            out_v, out_c, total, dropped, jnp.array(0, jnp.int32)
+        )
 
-        branch = jnp.where(n_valid == 0, 0, jnp.where(n_valid <= ce_small, 1, 2))
-        out_v, out_c, total, dropped = jax.lax.switch(
-            branch, [do_empty, do_small, do_big], (out_v, out_c, total, dropped)
+        def more(c):
+            return c[4] < n_valid
+
+        def drain(c):
+            out_v, out_c, total, dropped, base = c
+            out_v, out_c, total, dropped = emit_chunk(
+                out_v, out_c, total, dropped, base
+            )
+            return out_v, out_c, total, dropped, base + ce_small
+
+        out_v, out_c, total, dropped, _ = jax.lax.while_loop(
+            more, drain,
+            (out_v, out_c, total, dropped,
+             jnp.array(ce_small, jnp.int32) + 0 * n_valid),
         )
         return (out_v, out_c, total, dropped), None
 
-    x_starts = jnp.arange(n_slabs, dtype=jnp.int32) * slab
-    (out_v, out_c, total, dropped), _ = jax.lax.scan(
-        scan_body, (out_v, out_c, total0, dropped0), x_starts
+    # Occupancy band (EXACT): a slab whose own x-slices are all
+    # unobserved (weight == 0) yields case 0 for every cell — each cell
+    # has at least one unobserved corner — so the loop only needs to
+    # cover [first, last] occupied slabs. Unobserved trailing rows of
+    # the output stay at their zero initialization, the same invariant
+    # the in-loop zero-block writes maintain.
+    w_any = jnp.any(weight[: n_slabs * slab] > 0, axis=(1, 2))
+    occ_slab = jnp.any(w_any.reshape(n_slabs, slab), axis=1)
+    any_occ = jnp.any(occ_slab)
+    blk_lo = jnp.where(any_occ, jnp.argmax(occ_slab), 0).astype(jnp.int32)
+    blk_hi = jnp.where(
+        any_occ, n_slabs - jnp.argmax(occ_slab[::-1]), 0
+    ).astype(jnp.int32)
+
+    def loop_body(b, carry):
+        return scan_body(carry, b * slab)[0]
+
+    out_v, out_c, total, dropped = jax.lax.fori_loop(
+        blk_lo, blk_hi, loop_body, (out_v, out_c, total0, dropped0)
     )
 
     count = jnp.minimum(total, max_triangles)
@@ -431,8 +449,12 @@ def mesh_from_buffers(buffers: MeshBuffers, merge_eps: float = 1e-4) -> Mesh:
     return weld_mesh(tv, tc, merge_eps)
 
 
-@partial(jax.jit, static_argnames=("with_color",))
-def _weld_device_impl(vertices, colors, count, merge_eps, with_color):
+_PACK_K = 23168  # (2K+1)^2 < 2^31: largest |quantized coord| packable
+
+
+@partial(jax.jit, static_argnames=("with_color", "packed"))
+def _weld_device_impl(vertices, colors, count, merge_eps, with_color,
+                      packed=False):
     """Sort-based vertex weld entirely on device.
 
     Same quantized-grid 'approx' merge semantics as weld_mesh
@@ -448,24 +470,45 @@ def _weld_device_impl(vertices, colors, count, merge_eps, with_color):
     v = vertices.reshape(n_corners, 3)
     valid = jnp.arange(n_corners, dtype=jnp.int32) < count * 3
     q = jnp.round(v / merge_eps).astype(jnp.int32)
-    sentinel = jnp.int32(1 << 30)
-    qx = jnp.where(valid, q[:, 0], sentinel)
-    qy = jnp.where(valid, q[:, 1], sentinel)
-    qz = jnp.where(valid, q[:, 2], sentinel)
     idx = jnp.arange(n_corners, dtype=jnp.int32)
-    # idx participates as the 4th sort key so equal-cell runs are ordered
-    # by original corner index; the representative vertex of each cell is
-    # then the FIRST original occurrence (scatter-min below), matching the
-    # host weld's np.unique(return_index) / native first-seen semantics —
-    # deterministic across backends, unlike a last-write-wins scatter
-    # over an unstable 3-key sort.
-    sz, sy, sx, order = jax.lax.sort((qz, qy, qx, idx), num_keys=4)
-    head = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (sz[1:] != sz[:-1]) | (sy[1:] != sy[:-1]) | (sx[1:] != sx[:-1]),
-    ])
+    # idx participates as the last sort key so equal-cell runs are
+    # ordered by original corner index; the representative vertex of each
+    # cell is then the FIRST original occurrence (scatter-min below),
+    # matching the host weld's np.unique(return_index) / native
+    # first-seen semantics — deterministic across backends, unlike a
+    # last-write-wins scatter over an unstable sort.
+    if packed:
+        # (qz, qy) packed into ONE order-preserving int32 key — the TPU
+        # bitonic sort cost scales with key count, and 3 keys beat 4 by
+        # ~25%. The caller guarantees |q| <= _PACK_K (checked against
+        # the actual coordinate range host-side), so
+        # (q + K) * (2K + 1) + (q + K) <= (2K+1)^2 - 1 < 2^31.
+        K = jnp.int32(_PACK_K)
+        sentinel = jnp.int32(0x7FFFFFFF)
+        qzy = jnp.where(
+            valid, (q[:, 2] + K) * (2 * _PACK_K + 1) + (q[:, 1] + K),
+            sentinel,
+        )
+        qx = jnp.where(valid, q[:, 0], sentinel)
+        szy, sx, order = jax.lax.sort((qzy, qx, idx), num_keys=3)
+        head = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (szy[1:] != szy[:-1]) | (sx[1:] != sx[:-1]),
+        ])
+        last_key = szy
+    else:
+        sentinel = jnp.int32(1 << 30)
+        qx = jnp.where(valid, q[:, 0], sentinel)
+        qy = jnp.where(valid, q[:, 1], sentinel)
+        qz = jnp.where(valid, q[:, 2], sentinel)
+        sz, sy, sx, order = jax.lax.sort((qz, qy, qx, idx), num_keys=4)
+        head = jnp.concatenate([
+            jnp.ones((1,), bool),
+            (sz[1:] != sz[:-1]) | (sy[1:] != sy[:-1]) | (sx[1:] != sx[:-1]),
+        ])
+        last_key = sz
     uid = jnp.cumsum(head.astype(jnp.int32)) - 1
-    n_unique = jnp.sum((head & (sz != sentinel)).astype(jnp.int32))
+    n_unique = jnp.sum((head & (last_key != sentinel)).astype(jnp.int32))
     inverse = jnp.zeros((n_corners,), jnp.int32).at[order].set(uid)
     rep = jnp.full((n_corners,), n_corners - 1, jnp.int32).at[uid].min(order)
     out_v = v[rep]
@@ -489,22 +532,38 @@ def _dedup_faces(f: np.ndarray) -> np.ndarray:
 
 
 def mesh_from_buffers_device(
-    buffers: MeshBuffers, merge_eps: float = 1e-4, with_color: bool = True
+    buffers: MeshBuffers, merge_eps: float = 1e-4, with_color: bool = True,
+    coord_bound: float | None = None,
 ) -> Mesh:
     """mesh_from_buffers with the weld executed on device; transfers only
     the indexed result (unique vertices + faces). Duplicate-face removal
-    stays on host where it is cheap on int32 indices."""
+    stays on host where it is cheap on int32 indices.
+
+    `coord_bound`: known bound on |vertex coordinate| (e.g. the volume
+    extent) — lets the packed-key check skip a device reduction +
+    readback (a couple hundred ms through the tunneled TPU)."""
     n = int(buffers.count)
     if n == 0:
         return Mesh(np.zeros((0, 3)), np.zeros((0, 3), np.int64))
-    # Slice the static max-triangle budget down to a power-of-two bucket
-    # around the ACTUAL triangle count before the jitted sort: the budget
-    # is often >10x the real mesh (6.5M vs ~0.5M at 512^3), and the sort
-    # is the weld's dominant cost. Few distinct buckets -> few compiles.
-    m = min(buffers.vertices.shape[0], max(1 << (n - 1).bit_length(), 1024))
+    # Slice the static max-triangle budget down to a bucket around the
+    # ACTUAL triangle count before the jitted sort: the budget is often
+    # >10x the real mesh (6.5M vs ~0.5M at 512^3), and the sort is the
+    # weld's dominant cost. Buckets are multiples of 2^17 (finer than
+    # pow2 — a 524k mesh sorts 655k slots instead of 1M) with a handful
+    # of distinct compiles.
+    step = 1 << 17
+    m = min(buffers.vertices.shape[0], max(-(-n // step) * step, 1024))
+    # 3-key packed sort when every quantized coordinate fits the packing
+    # range (checked against the caller's bound, or the true coordinate
+    # extent via one scalar readback)
+    vmax = (
+        float(coord_bound) if coord_bound is not None
+        else float(jnp.max(jnp.abs(buffers.vertices[:m])))
+    )
+    packed = round(vmax / merge_eps) + 1 < _PACK_K
     out_v, out_c, faces, n_unique = _weld_device_impl(
         buffers.vertices[:m], buffers.colors[:m], buffers.count, merge_eps,
-        with_color
+        with_color, packed=packed,
     )
     nu = int(n_unique)
     verts = np.asarray(out_v[:nu])
@@ -957,7 +1016,10 @@ def extract_mesh(
         volume, vol_cfg, max_triangles=max_triangles, with_color=with_color
     )
     if device_weld:
-        mesh = mesh_from_buffers_device(buffers, with_color=with_color)
+        mesh = mesh_from_buffers_device(
+            buffers, with_color=with_color,
+            coord_bound=vol_cfg.size_m + 1.0,
+        )
     else:
         mesh = mesh_from_buffers(buffers)
     if not with_color:
