@@ -425,3 +425,51 @@ class TestClippedExactRaycast:
         c_t = np.asarray(clip.hit_t)
         assert c_hit[in_own].all()
         np.testing.assert_allclose(c_t[in_own], f_t[in_own], atol=1e-6)
+
+
+class TestFrameBatching:
+    """step_batch (k frames per dispatch, lax.scan inside shard_map) must
+    be semantically identical to k sequential step() calls — it exists
+    purely to amortize per-dispatch overhead (SCALING.md mitigation 1)."""
+
+    def test_batched_matches_sequential(self, mesh8):
+        cfg = par_config(fast_ops=True)
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = fly_through(cfg, 4, arc=0.1)
+        depths = [syn.render_depth(p, cfg.depth_camera, scene) for p in poses]
+
+        seq = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        for p, d in zip(poses, depths):
+            seq.step(d, ext_pose=p)
+
+        bat = ShardedFusion(cfg, mesh=mesh8, mode="file")
+        diags = bat.step_batch(depths, ext_poses=[jnp.asarray(p) for p in poses])
+        assert diags.pose.shape[0] == 4
+
+        np.testing.assert_array_equal(
+            np.asarray(seq.state.volume.tsdf), np.asarray(bat.state.volume.tsdf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seq.state.model_vertices),
+            np.asarray(bat.state.model_vertices),
+        )
+        assert int(bat.state.frame_id) == 4
+
+    def test_batched_icp_tracks(self, mesh8):
+        cfg = par_config(
+            fast_ops=True,
+            icp=IcpConfig(pyramid_levels=2, source_subsample=2,
+                          converge_eps=1e-4),
+        )
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = fly_through(cfg, 4, arc=0.05)
+        depths = [syn.render_depth(p, cfg.depth_camera, scene) for p in poses]
+        seq = ShardedFusion(cfg, mesh=mesh8, mode="icp")
+        for d in depths:
+            last = seq.step(d)
+        bat = ShardedFusion(cfg, mesh=mesh8, mode="icp")
+        diags = bat.step_batch(depths)
+        assert bool(diags.tracking_ok[-1])
+        np.testing.assert_allclose(
+            np.asarray(diags.pose[-1]), np.asarray(last.pose), atol=1e-6
+        )

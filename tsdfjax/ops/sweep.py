@@ -839,6 +839,16 @@ def _raycast_axis(
         else:
             red = tuple(ax for ax in range(3) if ax != axis)
             occ = jnp.any(weight_p > 0, axis=red)
+    elif halo > 0:
+        # sharded path: occupancy of the shard's OWN sampled slices
+        # (weight_p here is the [k,i,j]-permuted extended slab). Each
+        # shard clips its compositing loop independently; the pmin merge
+        # runs after the loop, so divergent trip counts are fine.
+        w_own = jax.lax.slice_in_dim(weight_p, halo, halo + n_own, axis=0)
+        occ = jnp.any(
+            w_own.reshape(n_k, stride, *w_own.shape[1:])[:, 0] > 0,
+            axis=(1, 2),
+        )
     if native and halo == 0 and stride > 1:
         # dense fast path: subsample + erode in native layout, permuting
         # only the sampled band (see _subsample_sweep_native)
@@ -1030,10 +1040,10 @@ def _raycast_axis(
     if occ is not None:
         # Occupancy clip (EXACT): compositing an all-unobserved block
         # (tsdf == 0, validity == 0 everywhere) produces no crossings —
-        # it only resets prev to zeros, which is already the init — so
-        # the loop need only cover [first, last] occupied sample blocks.
-        # Interior unobserved blocks are still composited (cheap zeros);
-        # the win is the empty prefix/suffix of the sweep range.
+        # it only resets prev to zeros — so the loop need only cover
+        # [first, last] occupied sample blocks. Interior unobserved
+        # blocks are still composited (cheap zeros); the win is the
+        # empty prefix/suffix of the sweep range.
         nb = n_k // bsz
         occ_b = jnp.any(occ.reshape(nb, bsz), axis=1)
         any_occ = jnp.any(occ_b)
@@ -1041,6 +1051,15 @@ def _raycast_axis(
         blk_hi = jnp.where(
             any_occ, nb - jnp.argmax(occ_b[::-1]), 0
         ).astype(jnp.int32)
+        if halo > 0:
+            # sharded: prev0 came from the halo, which is only the right
+            # previous sample when the loop starts at block 0. A clipped
+            # start means every earlier OWN slice was unobserved, so the
+            # dense-equivalent prev entering blk_lo is zeros.
+            zp = blk_lo > 0
+            init = dict(init)
+            for key in ("prev", "prev_di", "prev_dj"):
+                init[key] = jnp.where(zp, jnp.zeros_like(init[key]), init[key])
         st = jax.lax.fori_loop(
             blk_lo, blk_hi, lambda b, st: live_block(st, b * bsz), init
         )

@@ -53,7 +53,7 @@ from tsdfjax import volume as V
 from tsdfjax import raycast as R
 from tsdfjax.geometry import se3_inverse
 from tsdfjax.ops.sweep import fast_integrate_sharded, fast_raycast_sharded
-from tsdfjax.trackers.icp import icp_rows, normal_equations, solve_gn_step
+from tsdfjax.trackers.icp import icp_rows, normal_equations, pack_model_zn, solve_gn_step
 from tsdfjax.trackers import sdf as sdf_mod
 from tsdfjax.pipeline import FusionState, FrameDiagnostics, init_state
 
@@ -136,6 +136,7 @@ class ShardedFusion:
         self.state = self._shard_state(init_state(cfg))
         self._step = self._build_step(self.mode)
         self._file_step = None  # lazily built for reintegrate()
+        self._batch_steps = {}  # (mode, k) -> k-frame scan step
 
     def _shard_state(self, state: FusionState) -> FusionState:
         vol = V.TsdfVolume(
@@ -158,7 +159,7 @@ class ShardedFusion:
     # sharded step construction
     # ------------------------------------------------------------------
 
-    def _build_step(self, mode):
+    def _build_step(self, mode, batch: int = 1):
         cfg = self.cfg
         with_color = self.with_color
         halo = self.halo
@@ -223,9 +224,22 @@ class ShardedFusion:
                 for level in range(levels - 1, -1, -1):
                     cam_l = cfg.depth_camera.level(level)
                     nv_lvl, nn_lvl = nv[level], nn[level]
-                    if level == 0 and cfg.icp.source_subsample > 1:
+                    mv_l, mn_l = mv[level], mn[level]
+                    # same round-5 fast-path treatment as the dense
+                    # tracker (trackers/icp.py): level 0 sources the
+                    # averaged level-1 pyramid and associates into the
+                    # half-res model table via the compact [z|n] pack
+                    if level == 0 and cfg.icp.coarse_assoc and levels >= 2:
+                        nv_lvl, nn_lvl = nv[1], nn[1]
+                        mv_l, mn_l = mv[1], mn[1]
+                        cam_l = cfg.depth_camera.level(1)
+                    elif level == 0 and cfg.icp.source_subsample > 1:
                         ss = cfg.icp.source_subsample
                         nv_lvl, nn_lvl = F.subsample_pick(nv_lvl, ss), F.subsample_pick(nn_lvl, ss)
+                    zn = (
+                        pack_model_zn(mv_l, mn_l, last_inv)
+                        if level == 0 else None
+                    )
                     # exact row partition: pad to a multiple of the mesh
                     # size with invalid rows (zero contributions), so no
                     # shard double-counts when height % n != 0
@@ -237,12 +251,14 @@ class ShardedFusion:
                     nv_l = jax.lax.dynamic_slice_in_dim(nv_p, r0, band, 0)
                     nn_l = jax.lax.dynamic_slice_in_dim(nn_p, r0, band, 0)
 
-                    def it_body(carry, nv_l=nv_l, nn_l=nn_l, mv_l=mv[level],
-                                mn_l=mn[level], cam_l=cam_l):
+                    def it_body(carry, nv_l=nv_l, nn_l=nn_l, mv_l=mv_l,
+                                mn_l=mn_l, cam_l=cam_l, zn=zn):
                         i, cur, ok, residual, corr, stop = carry
                         rows, valid = icp_rows(
                             nv_l, nn_l, mv_l, mn_l, cam_l, cur, last_inv,
                             cfg.icp.dist_thresh_m, cfg.icp.normal_sin_thresh,
+                            model_zn=zn,
+                            model_pose=state.pose if zn is not None else None,
                         )
                         a7 = psum(normal_equations(rows))
                         delta, step_ok, x = solve_gn_step(
@@ -375,11 +391,31 @@ class ShardedFusion:
             )
             return new_state, diag
 
-        smapped = shard_map(
-            body, mesh=self.mesh,
-            in_specs=(state_spec, P(), P(), P()),
-            out_specs=(state_spec, diag_spec),
-        )
+        if batch > 1:
+            # Frame batching (SCALING.md mitigation #1): lax.scan over k
+            # frames INSIDE the shard_map body, so the fixed per-dispatch
+            # overhead (shard_map launch + tunnel round trip, measured
+            # 0.8-1.2 ms) is paid once per k frames instead of per frame.
+            # Collectives stay lockstep: every scan iteration runs the
+            # same psum/ppermute sequence on every shard.
+            def body_k(state, depths, rgbs, ext_poses):
+                def f(st, xs):
+                    st2, diag = body(st, *xs)
+                    return st2, diag
+
+                return jax.lax.scan(f, state, (depths, rgbs, ext_poses))
+
+            smapped = shard_map(
+                body_k, mesh=self.mesh,
+                in_specs=(state_spec, P(), P(), P()),
+                out_specs=(state_spec, diag_spec),
+            )
+        else:
+            smapped = shard_map(
+                body, mesh=self.mesh,
+                in_specs=(state_spec, P(), P(), P()),
+                out_specs=(state_spec, diag_spec),
+            )
         # donate the state: volume slabs update in place on each device
         return jax.jit(smapped, donate_argnums=(0,))
 
@@ -394,6 +430,31 @@ class ShardedFusion:
             jnp.asarray(rgb, jnp.float32), jnp.asarray(ext_pose, jnp.float32),
         )
         return diag
+
+    def step_batch(self, depths, rgbs=None, ext_poses=None):
+        """Process k frames in ONE dispatch (lax.scan inside shard_map) —
+        amortizes the fixed per-dispatch overhead that dominates the
+        multi-host scaling model's non-parallel term (SCALING.md §3
+        mitigation 1). Returns stacked FrameDiagnostics (leading axis k).
+        Semantically identical to k sequential step() calls."""
+        k = len(depths)
+        key = (self.mode, k)
+        if key not in self._batch_steps:
+            self._batch_steps[key] = self._build_step(self.mode, batch=k)
+        cam = self.cfg.depth_camera
+        d = jnp.stack([jnp.asarray(x, jnp.float32) for x in depths])
+        r = (
+            jnp.stack([jnp.asarray(x, jnp.float32) for x in rgbs])
+            if rgbs is not None
+            else jnp.zeros((k, cam.height, cam.width, 3), jnp.float32)
+        )
+        p = (
+            jnp.stack([jnp.asarray(x, jnp.float32) for x in ext_poses])
+            if ext_poses is not None
+            else jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (k, 4, 4))
+        )
+        self.state, diags = self._batch_steps[key](self.state, d, r, p)
+        return diags
 
     def reintegrate(self, keyframes, live_pose=None) -> int:
         """Sharded counterpart of FusionEngine.reintegrate: rebuild the
