@@ -195,6 +195,8 @@ def main(argv=None) -> int:
     n_done = 0
     consecutive_lost = 0
     last_pg_frame = 0
+    pg_cache: dict = {}  # cross-pass pairwise-ICP cache (posegraph.py)
+    pg_seconds = 0.0     # cumulative pose-graph overhead (budget metric)
     t_start = time.perf_counter()
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
@@ -250,8 +252,10 @@ def main(argv=None) -> int:
                 last_pg_frame = n_done
                 from tsdfjax.posegraph import build_keyframe_graph
 
+                t_pg = time.perf_counter()
                 g = build_keyframe_graph(
-                    list(kfman), cfg.depth_camera, cfg.icp, cfg.preprocess
+                    list(kfman), cfg.depth_camera, cfg.icp, cfg.preprocess,
+                    cache=pg_cache,
                 )
                 opt = g.optimize()
                 corr = g.correction_for(len(opt) - 1)
@@ -295,6 +299,7 @@ def main(argv=None) -> int:
                     n_refused = engine.reintegrate(
                         list(kfman), live_pose=corrected
                     )
+                pg_seconds += time.perf_counter() - t_pg
                 print(f"frame {frame_id}: pose-graph over {len(opt)} keyframes, "
                       f"live correction |t| = {dt_corr*1000:.1f} mm"
                       + (f" (applied, {n_refused} keyframes re-fused)"
@@ -331,6 +336,13 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t_start
     print(f"{n_done} frames in {dt:.1f}s ({n_done/max(dt,1e-9):.2f} fps), "
           f"lost {int(engine.state.lost_count)}", file=sys.stderr)
+    if args.posegraph_every and n_done:
+        # runtime-budget metric (VERDICT r4 item 5): how much the live
+        # pose-graph passes cost, amortized per processed frame
+        print(f"posegraph_overhead_ms_per_frame = "
+              f"{1e3 * pg_seconds / n_done:.2f} "
+              f"(total {pg_seconds:.1f}s over {n_done} frames)",
+              file=sys.stderr)
 
     # Final pose-graph pass: optimize the keyframe graph once more and
     # bend the RECORDED trajectory onto it. The mid-run correction only
@@ -347,7 +359,8 @@ def main(argv=None) -> int:
         from tsdfjax.posegraph import build_keyframe_graph, bend_trajectory
 
         g = build_keyframe_graph(
-            list(kfman), cfg.depth_camera, cfg.icp, cfg.preprocess
+            list(kfman), cfg.depth_camera, cfg.icp, cfg.preprocess,
+            cache=pg_cache,
         )
         opt = g.optimize()
         n_closures = sum(1 for e in g.edges if abs(e[1] - e[0]) > 1)

@@ -313,6 +313,20 @@ def build_keyframe_graph(
     closure_dev_t_per_gap: float = 0.02,
     closure_dev_rad_per_gap: float = 0.012,
     stats: dict | None = None,
+    # Runtime budget (VERDICT r4 item 5): per node, at most this many
+    # gate-passing candidates (nearest camera centers first) get the
+    # expensive pairwise ICP. In a loop trajectory the informative
+    # closures ARE the spatially nearest pairs, so the cap costs little
+    # accuracy while bounding a pass at O(K * max_candidates) ICPs.
+    max_candidates_per_node: int = 6,
+    # Cross-pass cache (dict owned by the caller, passed to every
+    # build): pairwise ICP is a RELATIVE measurement between two stored
+    # depth maps — once aligned, the edge stays valid no matter how the
+    # absolute poses move, so repeated optimization passes only pay ICP
+    # for NEW pairs. Failed attempts are retried only when the
+    # odometry-implied relative pose has moved since (their failure can
+    # be initialization-dependent).
+    cache: dict | None = None,
 ) -> PoseGraph:
     """Odometry chain + ICP loop closures between non-adjacent keyframes.
 
@@ -343,24 +357,68 @@ def build_keyframe_graph(
     if stats is None:
         stats = {}
     for key in ("pairs", "no_depth", "far", "view_angle", "icp_fail",
-                "few_corr", "residual", "odo_dev", "accepted"):
+                "few_corr", "residual", "odo_dev", "accepted", "capped",
+                "icp_runs", "icp_cached"):
         stats.setdefault(key, 0)
     stats["candidates"] = []
-    for a in range(len(kfs)):
-        for b in range(a + min_gap, len(kfs)):
+    icp_cache = None
+    if cache is not None:
+        icp_cache = cache.setdefault("icp", {})
+        # drop cache entries for evicted keyframes (bounded memory)
+        live = {kf.frame_id for kf in kfs}
+        for key in [k for k in icp_cache if k[0] not in live or k[1] not in live]:
+            del icp_cache[key]
+
+    def run_icp(a, b):
+        fa, fb = kfs[a].frame_id, kfs[b].frame_id
+        rel = np.linalg.inv(kfs[a].pose) @ kfs[b].pose
+        if icp_cache is not None and (fa, fb) in icp_cache:
+            ent = icp_cache[(fa, fb)]
+            retry = (not ent["ok_gates"]) and (
+                np.linalg.norm(rel[:3, 3] - ent["rel"][:3, 3]) > 5e-3
+                or _rotation_angle(ent["rel"][:3, :3].T @ rel[:3, :3]) > 5e-3
+            )
+            if not retry:
+                stats["icp_cached"] += 1
+                return ent
+        stats["icp_runs"] += 1
+        t_ab, ok, n_corr, resid = icp_relative_pose(
+            kfs[a], kfs[b], cam, icp_cfg, preprocess_cfg
+        )
+        ent = dict(t_ab=t_ab, ok=ok, n_corr=n_corr, resid=resid, rel=rel,
+                   ok_gates=False)
+        if icp_cache is not None:
+            icp_cache[(fa, fb)] = ent
+        return ent
+
+    # candidate collection per node b: cheap gates first, then the
+    # nearest-K cap before any ICP runs
+    for b in range(len(kfs)):
+        cand = []
+        for a in range(0, b - min_gap + 1):
             stats["pairs"] += 1
             if kfs[a].depth_m is None or kfs[b].depth_m is None:
                 stats["no_depth"] += 1
                 continue
-            if np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3]) > loop_radius_m:
+            dist = float(
+                np.linalg.norm(kfs[a].pose[:3, 3] - kfs[b].pose[:3, 3])
+            )
+            if dist > loop_radius_m:
                 stats["far"] += 1
                 continue
             view_cos = float(kfs[a].pose[:3, 2] @ kfs[b].pose[:3, 2])
             if view_cos < np.cos(max_view_angle_rad):
                 stats["view_angle"] += 1
                 continue
-            t_ab, ok, n_corr, resid = icp_relative_pose(
-                kfs[a], kfs[b], cam, icp_cfg, preprocess_cfg
+            cand.append((dist, a))
+        cand.sort()
+        if len(cand) > max_candidates_per_node:
+            stats["capped"] += len(cand) - max_candidates_per_node
+            cand = cand[:max_candidates_per_node]
+        for _dist, a in cand:
+            ent = run_icp(a, b)
+            t_ab, ok, n_corr, resid = (
+                ent["t_ab"], ent["ok"], ent["n_corr"], ent["resid"]
             )
             min_corr = int(min_corr_frac * min(valid_px[a], valid_px[b]))
             stats["candidates"].append(
@@ -384,6 +442,7 @@ def build_keyframe_graph(
                     > max_closure_dev_rad + closure_dev_rad_per_gap * gap):
                 stats["odo_dev"] += 1
                 continue
+            ent["ok_gates"] = True
             stats["accepted"] += 1
             g.add_edge(a, b, t_ab, weight=2.0)
     return g
