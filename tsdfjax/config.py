@@ -164,6 +164,15 @@ class SdfTrackerConfig:
     # Kept as an option for high-outlier data; use_filtered_depth below
     # is the fix that actually works.
     huber_delta: float = 0.0
+    # Validity-aware one-sided SDF gradients near map holes: the sweep
+    # tracker's in-plane central differences read unobserved (tsdf = 0)
+    # neighbors at hole boundaries, corrupting the GN rows exactly where
+    # blob-dropout data needs them (ATE_r04_part7: 1.9 cm, 14x ICP).
+    # With this flag, a difference falls back to the one-sided form when
+    # a neighbor sample's validity is below threshold (reference parity
+    # keeps plain central differences — the reference's numeric scheme
+    # simply rejects those pixels via its 13-sample validity).
+    hole_aware_gradient: bool = False
     # Evaluate the SDF residuals at points unprojected from the
     # bilateral-FILTERED depth instead of the raw trunced depth. The
     # reference feeds the tracker raw trunced depth
@@ -310,11 +319,17 @@ def load_ini(path: str) -> AppConfig:
     )
     sdf = SdfTrackerConfig(
         max_iters=_get(cp, "sdfTracker", "max_iter_nums", 6, int),
+        # the reference hardcodes 1e-3 (CameraPoseFinderSDF.cpp:87-90);
+        # the ablation configs tighten it via the [tsdfjax] section
+        convergence_eps=_get(cp, "tsdfjax", "sdf_convergence_eps", 1e-3, float),
         dist_shake_m=_get(cp, "sdfTracker", "camera_shake_dist", 0.4, float),
         angle_shake_rad=_get(cp, "sdfTracker", "camera_shake_angle", 0.4, float),
         source_subsample=_get(cp, "tsdfjax", "sdf_source_subsample", 1, int),
         q_oversample=_get(cp, "tsdfjax", "sdf_q_oversample", 1.6, float),
         huber_delta=_get(cp, "tsdfjax", "sdf_huber_delta", 0.0, float),
+        hole_aware_gradient=bool(
+            _get(cp, "tsdfjax", "sdf_hole_aware_gradient", 0, int)
+        ),
         use_filtered_depth=_get(
             cp, "tsdfjax", "sdf_use_filtered_depth", False, bool
         ),

@@ -1384,6 +1384,7 @@ def sdf_sweep_normal_eqs(
     mb: Array | None = None,
     axis_name: str | None = None,
     huber_delta: float = 0.0,
+    hole_aware: bool = False,
 ) -> tuple[Array, Array, Array]:
     """One GN iteration's (a7 (7,7), n_valid, |psi| sum) for the direct
     SDF tracker — the reference's 27-scalar reduction
@@ -1479,8 +1480,31 @@ def sdf_sweep_normal_eqs(
         k = (m * stride).astype(jnp.float32)
         f_cur = cur[0].astype(jnp.float32)
         f_prev = st["prev"][0].astype(jnp.float32)
-        cur_di = 0.5 * (_shift2(cur[0], 0, +1) - _shift2(cur[0], 0, -1))
-        cur_dj = 0.5 * (_shift2(cur[0], 1, +1) - _shift2(cur[0], 1, -1))
+        if hole_aware:
+            # validity-aware differences: near an unobserved neighbor
+            # (map hole) the central difference reads tsdf == 0 garbage;
+            # fall back to the one-sided form on the valid side (config
+            # SdfTrackerConfig.hole_aware_gradient; opt-in — the
+            # reference keeps plain central differences)
+            vth = jnp.asarray(vthresh, dtype)
+            f0 = cur[0]
+            for ax in (0, 1):
+                tp, tm = _shift2(f0, ax, +1), _shift2(f0, ax, -1)
+                vp = _shift2(cur[1], ax, +1) > vth
+                vm = _shift2(cur[1], ax, -1) > vth
+                d = jnp.where(
+                    vp & vm,
+                    (tp - tm) * jnp.asarray(0.5, dtype),
+                    jnp.where(vp, tp - f0,
+                              jnp.where(vm, f0 - tm, jnp.asarray(0, dtype))),
+                )
+                if ax == 0:
+                    cur_di = d
+                else:
+                    cur_dj = d
+        else:
+            cur_di = 0.5 * (_shift2(cur[0], 0, +1) - _shift2(cur[0], 0, -1))
+            cur_dj = 0.5 * (_shift2(cur[0], 1, +1) - _shift2(cur[0], 1, -1))
         # bracket: target k_t inside (k - stride, k]
         hit = (
             (m > m_first)

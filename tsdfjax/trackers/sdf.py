@@ -426,6 +426,7 @@ def _sweep_gn_loop(
         a7, nv_f, res_sum = sdf_sweep_normal_eqs(
             prep, vol_samp, cur, cam, vol_cfg, a, stride,
             mb=mb, axis_name=axis_name, huber_delta=cfg.huber_delta,
+            hole_aware=cfg.hole_aware_gradient,
         )
         cur, ok, done = _gn_solve_update(a7, cur, ok, done, cfg)
         nv = nv_f.astype(jnp.int32)
