@@ -175,6 +175,30 @@ class TestSdfTracking:
             errs.append(np.linalg.norm(est[:3, 3] - pose[:3, 3]))
         assert max(errs) < 2 * cfg.volume.voxel_size_m, errs
 
+    def test_hole_aware_gradient_tracks(self):
+        # opt-in validity-aware one-sided gradients (map-hole robustness)
+        # must still track the clean orbit to the same tolerance
+        import dataclasses
+
+        from tsdfjax.config import SdfTrackerConfig
+
+        cfg = small_config()
+        cfg = dataclasses.replace(
+            cfg, sdf_tracker=SdfTrackerConfig(hole_aware_gradient=True)
+        )
+        scene = syn.default_scene(cfg.volume.size_m)
+        poses = fly_through(cfg, 8, arc=0.15)
+        engine = FusionEngine(cfg, mode="sdf")
+        errs = []
+        for pose in poses:
+            depth = syn.render_depth(pose, cfg.depth_camera, scene)
+            diag = engine.step(depth)
+            assert bool(diag.tracking_ok)
+            errs.append(
+                np.linalg.norm(np.asarray(diag.pose)[:3, 3] - pose[:3, 3])
+            )
+        assert max(errs) < 2 * cfg.volume.voxel_size_m, errs
+
 
 class TestColorPipeline:
     def test_color_fuses_and_raycasts(self):

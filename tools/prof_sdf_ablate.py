@@ -1,11 +1,11 @@
 """SDF tracker accuracy ablation (VERDICT r4 item 3).
 
-Measures ATE on the clean and blob-dropout synthetic stress points for:
+Measures ATE on the clean / blob-dropout / cluttered stress points for:
   - ICP (the comparison floor)
   - SDF at the reference budget (6 iters, eps 1e-3, plain gradients)
-  - SDF with an extended GN budget (24 iters, eps 1e-4)
   - SDF with hole-aware one-sided gradients (map-hole robustness)
-  - SDF with both
+  - SDF with an extended budget done right (12 iters, eps 1e-4, and the
+    pixel<->q association REBUILT every iteration)
 
 Runs the full app CLI per leg (subprocess, like run_baseline). CPU by
 default; pass --chip to run on the default backend.
@@ -52,16 +52,20 @@ def main() -> int:
         ("blob_dropout", 0.005, 0.2, "default"),
         ("cluttered", 0.005, 0.0, "cluttered"),
     ]
-    # (label, tracker, extra [tsdfjax]/sdfTracker INI lines)
+    # (label, tracker, extra [tsdfjax]/sdfTracker INI lines).
+    # NOTE a plain extended budget (eps 1e-4, 24 iters, frozen assoc)
+    # DIVERGES: 15.4 cm + tracking lost on the clean point — the sweep
+    # tracker freezes the pixel<->q association after the second
+    # iteration, and 20+ GN steps against a stale association walk away.
+    # The honest extended-budget leg rebuilds the association per
+    # iteration.
     legs = [
         ("icp", "icp", []),
         ("sdf_ref_budget", "sdf", []),
-        ("sdf_ext_budget", "sdf",
-         ["sdf_convergence_eps = 1e-4"]),
         ("sdf_hole_aware", "sdf",
          ["sdf_hole_aware_gradient = 1"]),
-        ("sdf_ext_hole_aware", "sdf",
-         ["sdf_convergence_eps = 1e-4", "sdf_hole_aware_gradient = 1"]),
+        ("sdf_ext_rebuild", "sdf",
+         ["sdf_convergence_eps = 1e-4", "sdf_rebuild_assoc = 1"]),
     ]
 
     results = {"frames": args.frames, "points": []}
@@ -85,7 +89,7 @@ def main() -> int:
                 # max_iter_nums lives in [sdfTracker]: patch in place
                 with open(ini) as f:
                     txt = f.read()
-                txt = txt.replace("max_iter_nums=6", "max_iter_nums=24")
+                txt = txt.replace("max_iter_nums=6", "max_iter_nums=12")
                 with open(ini, "w") as f:
                     f.write(txt)
             traj = os.path.join(args.workdir, f"traj_{pname}_{label}.txt")

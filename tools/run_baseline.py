@@ -123,6 +123,9 @@ def parse_metrics(err_text: str) -> dict:
         out["mesh_vertices"] = int(m.group(1))
         out["mesh_faces"] = int(m.group(2))
         out["mesh_seconds"] = float(m.group(3))
+    m = re.search(r"posegraph_overhead_ms_per_frame = ([0-9.]+)", err_text)
+    if m:
+        out["posegraph_overhead_ms_per_frame"] = float(m.group(1))
     return out
 
 
@@ -390,10 +393,21 @@ def main() -> int:
             record(f"6_drift_clutter_{label}", seq, source,
                    {"ate_rmse_cm": round(ates[label] * 100, 4)}, err, wall)
         impr = (ates["odometry"] - ates["posegraph"]) / max(ates["odometry"], 1e-9)
+        fps6 = {r["config"]: r.get("fps") for r in results["runs"]
+                if r["config"].startswith("6_drift_clutter")}
+        pg_fps = fps6.get("6_drift_clutter_posegraph")
+        odo_fps = fps6.get("6_drift_clutter_odometry")
         results["posegraph_ab"] = {
             "ate_posegraph_cm": round(ates["posegraph"] * 100, 4),
             "ate_odometry_cm": round(ates["odometry"] * 100, 4),
             "improvement_pct": round(impr * 100, 1),
+            # runtime budget (VERDICT r4 item 5): posegraph-mode fps must
+            # stay within 2x of odometry
+            "fps_posegraph": pg_fps,
+            "fps_odometry": odo_fps,
+            "fps_ratio": (
+                round(odo_fps / pg_fps, 2) if pg_fps and odo_fps else None
+            ),
         }
         # keyframe-level A/B on the odometry run (the drift component the
         # graph can actually fix; full-trajectory ATE is dominated by
@@ -476,10 +490,10 @@ def main() -> int:
     # GN schedule) on whatever backend is active; run WITHOUT --cpu on the
     # TPU host to give strict-parity settings chip execution evidence.
     if 8 in configs:
-        # >=120 frames: round-3's 40-frame strict chip run was "adequate
-        # as an existence proof, too thin to call strict-mode chip
-        # behavior verified" (VERDICT r3 weak #7 / item 8)
-        nf = min(args.frames, 120)
+        # 300 frames (VERDICT r4 item 6's soak bar; round 4 ran 120 at
+        # 1.34 exact-ops fps — the round-5 exact-path early exit at 1.52
+        # fps makes the longer soak ~3.5 min of step time)
+        nf = min(args.frames, 300) if args.frames >= 300 else min(args.frames, 120)
         seq, source = ensure_sequence(args.data_root, "fr1_desk", "desk",
                                       nf, args.noise)
         gt = os.path.join(seq, "groundtruth.txt")

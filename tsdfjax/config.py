@@ -330,6 +330,9 @@ def load_ini(path: str) -> AppConfig:
         hole_aware_gradient=bool(
             _get(cp, "tsdfjax", "sdf_hole_aware_gradient", 0, int)
         ),
+        rebuild_assoc_every_iter=bool(
+            _get(cp, "tsdfjax", "sdf_rebuild_assoc", 0, int)
+        ),
         use_filtered_depth=_get(
             cp, "tsdfjax", "sdf_use_filtered_depth", False, bool
         ),
