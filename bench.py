@@ -139,8 +139,7 @@ def bench_headline(n_warm=3, n_meas=20):
     # section); strict-parity defaults are subsample 1 / eps 0
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
-                  coarse_assoc=True),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
     )
     log("headline: dense ICP 256^3 depth-only")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
@@ -149,14 +148,34 @@ def bench_headline(n_warm=3, n_meas=20):
     return jline("depth_fps_per_chip_icp_256", fps, "frames/s", 30.0, spread=sp)
 
 
+def bench_headline_coarse(n_warm=3, n_meas=20):
+    """The opt-in max-throughput tracker mode (icp_coarse_assoc=1):
+    half-res level-0 association rides the fast gather path. Measured
+    trade vs the shipped fast config: ~+10% fps for ~5x ATE
+    (0.028 -> 0.137 cm at 640x480/256^3 — still 17% of a voxel)."""
+    from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
+    from tsdfjax.pipeline import FusionEngine
+
+    cfg = AppConfig(
+        switches=SwitchConfig(use_color=False),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
+                      coarse_assoc=True),
+    )
+    log("headline-coarse: dense ICP 256^3 depth-only, coarse_assoc=1")
+    poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
+    fps, sp = measure_engine(FusionEngine(cfg, mode="icp"), poses, depths, rgbs,
+                             n_warm, n_meas, "icp")
+    return jline("depth_fps_per_chip_icp_256_coarse", fps, "frames/s", 30.0,
+                 spread=sp)
+
+
 def bench_color(n_warm=3, n_meas=15):
     from tsdfjax.config import AppConfig, IcpConfig, SwitchConfig
     from tsdfjax.pipeline import FusionEngine
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=True),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
-                  coarse_assoc=True),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
     )
     log("color: dense ICP 256^3 rgb fusion + color raycast")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas, with_rgb=True)
@@ -203,8 +222,7 @@ def bench_sharded_n1(n_warm=3, n_meas=15):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
-                  coarse_assoc=True),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
     )
     log("sharded_n1: ShardedFusion on a 1-device mesh (shard_map overhead)")
     poses, depths, rgbs = make_frames(cfg, n_warm + n_meas)
@@ -219,8 +237,7 @@ def bench_exact(n_warm=2, n_meas=4):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
-                  coarse_assoc=True),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
         fast_ops=False,
     )
     log("exact: reference-semantics gather ops (the fast path's baseline)")
@@ -336,8 +353,7 @@ def bench_stages(n_warm=3, n_meas=15):
 
     cfg = AppConfig(
         switches=SwitchConfig(use_color=False),
-        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
-                  coarse_assoc=True),
+        icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
     )
     cam = cfg.depth_camera
     pre = cfg.preprocess
@@ -522,7 +538,7 @@ def main() -> None:
         return
 
     lines = []
-    for fn in (bench_headline, bench_color, bench_sdf, bench_512,
+    for fn in (bench_headline, bench_headline_coarse, bench_color, bench_sdf, bench_512,
                bench_sharded_n1, bench_exact, bench_mesh, bench_mesh_512,
                bench_stages):
         try:

@@ -20,8 +20,7 @@ from tsdfjax import synthetic as syn
 # pathologically slow XLA compile on the axon TPU (~200s vs 16s)
 cfg = AppConfig(
     switches=SwitchConfig(use_color=False),
-    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4,
-                  coarse_assoc=True),
+    icp=IcpConfig(pyramid_levels=3, source_subsample=2, converge_eps=1e-4),
 )
 cam = cfg.depth_camera
 scene = syn.default_scene(cfg.volume.size_m)
