@@ -227,6 +227,10 @@ def icp_track(
         #    fast gather path. +-1 px association slides the target
         #    along the surface — first-order invisible to point-to-plane.
         if level == 0 and cfg.coarse_assoc and cfg.pyramid_levels >= 2:
+            # (measured: a PICKED full-res-sampled source instead of the
+            # averaged L1 pyramid moves ATE only 0.137 -> 0.131 cm — the
+            # mode's accuracy cost is inherent to half-res association,
+            # not to source averaging; hence coarse_assoc ships off)
             nv, nn = new_v_pyr[1], new_n_pyr[1]
             mv, mn = model_v_pyr[1], model_n_pyr[1]
             cam_a = cam.level(1)
